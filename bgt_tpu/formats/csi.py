@@ -1,0 +1,377 @@
+"""CSI binning index with the reference's RNI record-number extension.
+
+Functional equivalent of the reference index layer (reference hts.c:149-907):
+binning index per contig with linear-index loff values, bin-merge compression,
+chunk-list region queries, and the non-standard ``RNI\\1`` footer storing the
+BGZF virtual offset of every ``2^rec_shift``-th record, which enables
+"seek to the i-th record" paging (hts.c:394-400, 536-542, 902-907).
+
+The on-disk CSI payload is written in sorted-bin order (the reference writes
+hash-table order; CSI readers, including the reference's, accept any order).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ..io.bgzf import BgzfReader, BgzfWriter
+
+HTS_MIN_MARKER_DIST = 0x10000
+HTS_DEF_REC_SHIFT = 10
+
+
+def bin_first(l: int) -> int:
+    return ((1 << (3 * l)) - 1) // 7
+
+
+def bin_parent(b: int) -> int:
+    return (b - 1) >> 3
+
+
+def reg2bin(beg: int, end: int, min_shift: int, n_lvls: int) -> int:
+    end -= 1
+    l = n_lvls
+    s = min_shift
+    t = ((1 << (3 * n_lvls)) - 1) // 7
+    while l > 0:
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        l -= 1
+        s += 3
+        t -= 1 << (3 * l)
+    return 0
+
+
+def bin_bot(b: int, n_lvls: int) -> int:
+    l, x = 0, b
+    while x:
+        l += 1
+        x = bin_parent(x)
+    return (b - bin_first(l)) << (n_lvls - l) * 3
+
+
+def reg2bins(beg: int, end: int, min_shift: int, n_lvls: int) -> list[int]:
+    out = []
+    s = min_shift + 3 * n_lvls
+    if beg >= end:
+        return out
+    if end >= 1 << s:
+        end = 1 << s
+    end -= 1
+    t = 0
+    for l in range(n_lvls + 1):
+        b = t + (beg >> s)
+        e = t + (end >> s)
+        out.extend(range(b, e + 1))
+        s -= 3
+        t += 1 << ((l << 1) + l)
+    return out
+
+
+class HtsIndex:
+    """Binning + linear + record-number index for one BGZF-compressed BCF."""
+
+    def __init__(self, n_ctg: int, min_shift: int, n_lvls: int, offset0: int = 0):
+        self.min_shift = min_shift
+        self.n_lvls = n_lvls
+        self.n_bins = ((1 << (3 * n_lvls + 3)) - 1) // 7
+        self.rec_shift = HTS_DEF_REC_SHIFT
+        self.n = n_ctg
+        self.bidx: list[dict[int, list]] = [dict() for _ in range(n_ctg)]
+        self.lidx: list[list[int]] = [[] for _ in range(n_ctg)]
+        self.loff: list[dict[int, int]] = [dict() for _ in range(n_ctg)]
+        self.ridx: list[int] = []
+        self.n_rec = 0
+        self.n_no_coor = 0
+        self._finished = False
+        # builder state (mirrors hts.c z struct)
+        self._save_bin = self._last_bin = -1
+        self._save_tid = self._last_tid = -1
+        self._last_coor = -1
+        self._save_off = self._last_off = offset0
+        self._off_beg = self._off_end = offset0
+        self._n_mapped = self._n_unmapped = 0
+
+    # --- construction ------------------------------------------------------
+
+    def _insert_b(self, tid: int, b: int, beg: int, end: int) -> None:
+        self.bidx[tid].setdefault(b, []).append((beg, end))
+
+    def _insert_l(self, tid: int, beg: int, end: int, offset: int) -> None:
+        l = self.lidx[tid]
+        b = beg >> self.min_shift
+        e = (end - 1) >> self.min_shift
+        while len(l) < e + 1:
+            l.append(-1)
+        for i in range(b, e + 1):
+            if l[i] < 0:
+                l[i] = offset
+        # reference records n = e+1 high-water mark implicitly via length
+
+    def push(self, tid: int, beg: int, end: int, offset: int, is_mapped: bool = True) -> int:
+        while tid >= len(self.bidx):
+            self.bidx.append(dict())
+            self.lidx.append([])
+            self.loff.append(dict())
+        if self.n < tid + 1:
+            self.n = tid + 1
+        if tid < 0:
+            self.n_no_coor += 1
+        if self._finished:
+            return 0
+        if self._last_tid < tid or (self._last_tid >= 0 and tid < 0):
+            self._last_tid = tid
+            self._last_bin = -1
+        elif tid >= 0 and self._last_tid > tid:
+            raise ValueError("unsorted chromosomes")
+        elif tid >= 0 and self._last_coor > beg:
+            raise ValueError("unsorted positions")
+        if tid >= 0 and is_mapped:
+            self._insert_l(tid, beg, end, self._last_off)
+        b = reg2bin(beg, end, self.min_shift, self.n_lvls)
+        if self._last_bin != b:
+            if self._save_bin != -1:
+                self._insert_b(self._save_tid, self._save_bin, self._save_off, self._last_off)
+            if self._last_bin == -1 and self._save_bin != -1:
+                self._off_end = self._last_off
+                self._insert_b(self._save_tid, self.n_bins + 1, self._off_beg, self._off_end)
+                self._insert_b(self._save_tid, self.n_bins + 1, self._n_mapped, self._n_unmapped)
+                self._n_mapped = self._n_unmapped = 0
+                self._off_beg = self._off_end
+            self._save_off = self._last_off
+            self._save_bin = self._last_bin = b
+            self._save_tid = tid
+            if tid < 0:
+                self.finish(offset)
+                return 0
+        if self.rec_shift > 0 and (self.n_rec & ((1 << self.rec_shift) - 1)) == 0:
+            self.ridx.append(self._last_off)
+        if is_mapped:
+            self._n_mapped += 1
+        else:
+            self._n_unmapped += 1
+        self._last_off = offset
+        self._last_coor = beg
+        self.n_rec += 1
+        return 0
+
+    def finish(self, final_offset: int) -> None:
+        if self._finished:
+            return
+        if self._save_tid >= 0:
+            self._insert_b(self._save_tid, self._save_bin, self._save_off, final_offset)
+            self._insert_b(self._save_tid, self.n_bins + 1, self._off_beg, final_offset)
+            self._insert_b(self._save_tid, self.n_bins + 1, self._n_mapped, self._n_unmapped)
+        for i in range(self.n):
+            self._update_loff(i)
+            self._compress_binning(i)
+        self._finished = True
+
+    def _update_loff(self, i: int) -> None:
+        bidx = self.bidx[i]
+        lidx = self.lidx[i]
+        offset0 = 0
+        meta = bidx.get(self.n_bins + 1)
+        if meta:
+            offset0 = meta[0][0]
+        j = 0
+        while j < len(lidx) and lidx[j] == -1:
+            lidx[j] = offset0
+            j += 1
+        for j in range(1, len(lidx)):
+            if lidx[j] == -1:
+                lidx[j] = lidx[j - 1]
+        for b in bidx:
+            if b < self.n_bins:
+                bb = bin_bot(b, self.n_lvls)
+                self.loff[i][b] = lidx[bb] if bb < len(lidx) else (lidx[-1] if lidx else 0)
+            else:
+                self.loff[i][b] = 0
+
+    def _compress_binning(self, i: int) -> None:
+        bidx = self.bidx[i]
+        for l in range(self.n_lvls, 0, -1):
+            start = bin_first(l)
+            for b in sorted(bidx):
+                if b >= self.n_bins or b < start:
+                    continue
+                p = bidx[b]
+                if l < self.n_lvls and len(p) > 1:
+                    p.sort()
+                if (p[-1][1] >> 16) - (p[0][0] >> 16) < HTS_MIN_MARKER_DIST:
+                    parent = bin_parent(b)
+                    if parent not in bidx:
+                        continue
+                    bidx[parent].extend(p)
+                    del bidx[b]
+        if 0 in bidx:
+            bidx[0].sort()
+        # merge adjacent chunks starting in the same BGZF block
+        for b in list(bidx):
+            if b >= self.n_bins:
+                continue
+            p = bidx[b]
+            merged = [list(p[0])]
+            for u, v in p[1:]:
+                if merged[-1][1] >> 16 >= u >> 16:
+                    if merged[-1][1] < v:
+                        merged[-1][1] = v
+                else:
+                    merged.append([u, v])
+            bidx[b] = [tuple(x) for x in merged]
+
+    # --- save / load -------------------------------------------------------
+
+    def save(self, fn: str) -> None:
+        with BgzfWriter(fn + ".csi") as fp:
+            fp.write(b"CSI\x01")
+            fp.write(struct.pack("<3I", self.min_shift, self.n_lvls, 0))
+            fp.write(struct.pack("<i", self.n))
+            for i in range(self.n):
+                bidx = self.bidx[i]
+                fp.write(struct.pack("<i", len(bidx)))
+                for b in sorted(bidx):
+                    fp.write(struct.pack("<IQ", b, self.loff[i].get(b, 0)))
+                    chunks = bidx[b]
+                    fp.write(struct.pack("<i", len(chunks)))
+                    for u, v in chunks:
+                        fp.write(struct.pack("<QQ", u, v))
+            fp.write(struct.pack("<Q", self.n_no_coor))
+            if self.rec_shift > 0:
+                fp.write(b"RNI\x01")
+                fp.write(struct.pack("<q", self.n_rec))
+                fp.write(struct.pack("<i", self.rec_shift))
+                fp.write(struct.pack("<i", len(self.ridx)))
+                for off in self.ridx:
+                    fp.write(struct.pack("<Q", off))
+
+    @classmethod
+    def load(cls, fn: str) -> "HtsIndex":
+        fp = BgzfReader(fn if fn.endswith(".csi") else fn + ".csi")
+        magic = fp.read(4)
+        if magic != b"CSI\x01":
+            raise ValueError("not a CSI index")
+        min_shift, n_lvls, l_meta = struct.unpack("<3I", fp.read(12))
+        if l_meta:
+            fp.read(l_meta)
+        (n,) = struct.unpack("<i", fp.read(4))
+        idx = cls(n, min_shift, n_lvls)
+        idx._finished = True
+        for i in range(n):
+            (nb,) = struct.unpack("<i", fp.read(4))
+            for _ in range(nb):
+                b, loff = struct.unpack("<IQ", fp.read(12))
+                (nchunk,) = struct.unpack("<i", fp.read(4))
+                chunks = []
+                for _ in range(nchunk):
+                    chunks.append(struct.unpack("<QQ", fp.read(16)))
+                idx.bidx[i][b] = chunks
+                idx.loff[i][b] = loff
+        raw = fp.read(8)
+        idx.n_no_coor = struct.unpack("<Q", raw)[0] if len(raw) == 8 else 0
+        magic = fp.read(4)
+        if magic == b"RNI\x01":
+            (idx.n_rec,) = struct.unpack("<q", fp.read(8))
+            (idx.rec_shift,) = struct.unpack("<i", fp.read(4))
+            (nr,) = struct.unpack("<i", fp.read(4))
+            idx.ridx = list(struct.unpack(f"<{nr}Q", fp.read(8 * nr)))
+        fp.close()
+        return idx
+
+    # --- queries -----------------------------------------------------------
+
+    def query_chunks(self, tid: int, beg: int, end: int):
+        """Merged chunk list for a region (hts_itr_query, hts.c:725-814)."""
+        if beg < 0:
+            beg = 0
+        if end < beg or tid >= len(self.bidx):
+            return None
+        bidx = self.bidx[tid]
+        # min_off via the finest bin containing beg, walking up/left
+        b = bin_first(self.n_lvls) + (beg >> self.min_shift)
+        while b:
+            if b in bidx:
+                break
+            first = (bin_parent(b) << 3) + 1
+            if b > first:
+                b -= 1
+            else:
+                b = bin_parent(b)
+        min_off = self.loff[tid].get(b, 0) if b in bidx else 0
+        off = []
+        for b in reg2bins(beg, end, self.min_shift, self.n_lvls):
+            for u, v in bidx.get(b, ()):
+                if v > min_off:
+                    off.append((u, v))
+        if not off:
+            return []
+        off.sort()
+        # drop fully-contained chunks
+        merged = [off[0]]
+        for u, v in off[1:]:
+            if merged[-1][1] < v:
+                merged.append((u, v))
+        off = merged
+        # clip overlaps
+        out = []
+        for j, (u, v) in enumerate(off):
+            if j + 1 < len(off) and v >= off[j + 1][0]:
+                v = off[j + 1][0]
+            out.append((u, v))
+        # merge adjacent in the same block
+        merged = [list(out[0])]
+        for u, v in out[1:]:
+            if merged[-1][1] >> 16 == u >> 16:
+                merged[-1][1] = v
+            else:
+                merged.append([u, v])
+        return [tuple(x) for x in merged]
+
+    def seekn_voffset(self, r: int):
+        """(virtual offset, records to skip) for the r-th record (RNI)."""
+        if not self.ridx or r >= self.n_rec:
+            return None
+        return self.ridx[r >> self.rec_shift], r & ((1 << self.rec_shift) - 1)
+
+
+def parse_reg(s: str):
+    """Parse 'chr:beg-end' (hts_parse_reg, hts.c:821-850).
+
+    Returns (name, beg, end) 0-based half-open.
+    """
+    name_end = len(s)
+    i = s.rfind(":")
+    if i >= 0:
+        name_end = i
+    if name_end < len(s):
+        n_hyphen = 0
+        ok = True
+        for c in s[name_end + 1:]:
+            if c == "-":
+                n_hyphen += 1
+            elif not (c.isdigit() or c == ","):
+                ok = False
+                break
+        if not ok or n_hyphen > 1:
+            name_end = len(s)
+    if name_end < len(s):
+        tmp = s[name_end + 1:].replace(",", "")
+        parts = tmp.split("-")
+        try:
+            beg = int(parts[0]) - 1
+        except ValueError:
+            beg = -1
+        if beg < 0:
+            beg = 0
+        if len(parts) > 1 and parts[1]:
+            try:
+                end = int(parts[1])
+            except ValueError:
+                end = 1 << 29
+        else:
+            end = 1 << 29
+        if beg > end:
+            name_end = len(s)
+    if name_end == len(s):
+        beg, end = 0, 1 << 29
+    return s[:name_end], beg, end
