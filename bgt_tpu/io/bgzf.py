@@ -156,7 +156,9 @@ class BgzfReader:
             take = min(n - len(out), available)
             out += self._block[self._block_offset : self._block_offset + take]
             self._block_offset += take
-        if self._block and self._block_offset == len(self._block):
+        # Mirror bgzf.c:709-713: when the block is exhausted (including a
+        # zero-length EOF block), tell() advances to the raw file position.
+        if self._block_offset == len(self._block):
             self._block_address = self._phys
             self._block_offset = 0
             self._block = b""

@@ -1,0 +1,118 @@
+"""``bgt import`` / ``bgt atomize`` / ``bgt bcfidx``: build a BGT database.
+
+Produces the reference's exact on-disk layout (reference import.c:8-120):
+``PREFIX.pbf`` (2-plane PBWT matrix, shift=13), ``PREFIX.bcf`` (site-only
+records carrying INFO/_row), ``PREFIX.bcf.csi`` (CSI + RNI record index) and
+``PREFIX.spl`` (sample names).  The site BCF is byte-identical to reference
+output for the same input.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.atomize import AtomBuffer, atom_to_bcf
+from ..formats import bcf as bcflib
+from ..formats.csi import HtsIndex
+from ..formats.pbf import PbfWriter
+from ..io import files
+from ..io.bgzf import BgzfReader, BgzfWriter
+
+PBF_SHIFT = 13
+
+
+def build_bcf_index(fn: str, min_shift: int = 14) -> None:
+    """bcf_index_build: CSI + RNI over a site BCF (vcf.c:1002-1038)."""
+    fp = BgzfReader(fn)
+    h = bcflib.BcfHeader.read_bcf(fp)
+    max_len = 0
+    for _name, ii in h.ids[bcflib.BCF_DT_CTG]:
+        max_len = max(max_len, ii.info[0])
+    max_len += 256
+    n_lvls, s = 0, 1 << min_shift
+    while max_len > s:
+        n_lvls += 1
+        s <<= 3
+    idx = HtsIndex(h.n(bcflib.BCF_DT_CTG), min_shift, n_lvls, offset0=fp.tell())
+    b = bcflib.Bcf1()
+    while b.read(fp) >= 0:
+        idx.push(b.rid, b.pos, b.pos + b.rlen, fp.tell(), True)
+    idx.finish(fp.tell())
+    fp.close()
+    idx.save(fn)
+
+
+def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
+               keep_filtered: bool = False, clevel: int = -1) -> int:
+    """Import VCF/BCF file(s) into a BGT database at ``prefix``."""
+    first = files.open_vcf(inputs[0], is_vcf)
+    h = first.header
+    ab = AtomBuffer(h, first, keep_filtered)
+    n_samples = h.n(bcflib.BCF_DT_SAMPLE)
+    assert n_samples > 0, "input must have samples"
+
+    h0 = h.subset(None)
+    if h0.id2int(bcflib.BCF_DT_ID, "GT") < 0:
+        h0.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+    h0.append('##INFO=<ID=_row,Number=1,Type=Integer,Description="row number">')
+
+    with open(f"{prefix}.spl", "w") as fp:
+        for s in h.samples:
+            fp.write(s + "\n")
+
+    pbf = PbfWriter(f"{prefix}.pbf", n_samples * 2, 2, PBF_SHIFT)
+    out = BgzfWriter(f"{prefix}.bcf", clevel)
+    h0.write_bcf(out)
+
+    n = 0
+    b = bcflib.Bcf1()
+    for j, fn in enumerate(inputs):
+        if j > 0:
+            src = files.open_vcf(fn, is_vcf)
+            ab = AtomBuffer(src.header, src, keep_filtered)
+        for a in ab:
+            atom_to_bcf(a, b, write_m=True, id_gt=-1)
+            b.append_info_ints(h0, "_row", [n])
+            codes = np.frombuffer(bytes(a.gt), dtype=np.uint8)
+            pbf.write_row([codes & 1, codes >> 1])
+            b.n_sample = 0  # bcf_subset(h0, b, 0, 0)
+            b.indiv = bytearray()
+            b.write(out)
+            n += 1
+    out.close()
+    pbf.close()
+    build_bcf_index(f"{prefix}.bcf", 14)
+    return n
+
+
+def atomize_cli(fn: str, is_vcf: bool | None = None, bcf_out: bool = False,
+                write_m: bool = False, use_missing: bool = True,
+                out_fp=None) -> int:
+    """``bgt atomize``: stream atomized records to stdout (import.c:135-190)."""
+    src = files.open_vcf(fn, is_vcf)
+    h = src.header
+    ab = AtomBuffer(h, src, keep_filtered=False)
+    out_fp = out_fp or sys.stdout
+    # header is written BEFORE the GT line may be appended (import.c:171-177)
+    if bcf_out:
+        out = BgzfWriter(out_fp.buffer if hasattr(out_fp, "buffer") else out_fp)
+        h.write_bcf(out)
+    else:
+        out_fp.write(h.vcf_text())
+    if h.id2int(bcflib.BCF_DT_ID, "GT") < 0:
+        h.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+    id_gt = h.id2int(bcflib.BCF_DT_ID, "GT")
+    b = bcflib.Bcf1()
+    n = 0
+    for a in ab:
+        atom_to_bcf(a, b, write_m, id_gt, use_missing)
+        if bcf_out:
+            b.write(out)
+        else:
+            out_fp.write(bcflib.vcf_format1(h, b) + "\n")
+        n += 1
+    if bcf_out:
+        out.close()
+    return n

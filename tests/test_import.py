@@ -1,0 +1,87 @@
+"""Import/atomize byte-parity against the reference binary on synthetic VCFs."""
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from bgt_tpu import testing
+from bgt_tpu.query import importer
+
+REF_DIR = Path("/root/reference")
+
+
+def run_ref(ref_bgt, args, cwd, **kw):
+    return subprocess.run([ref_bgt] + args, cwd=cwd, capture_output=True, **kw)
+
+
+@pytest.mark.parametrize("seed,n_samples,n_sites", [(0, 8, 60), (1, 25, 200)])
+def test_atomize_parity(tmp_path, ref_bgt, seed, n_samples, n_sites):
+    vcf = testing.random_vcf(n_samples=n_samples, n_sites=n_sites, seed=seed)
+    (tmp_path / "in.vcf").write_text(vcf)
+    ref = run_ref(ref_bgt, ["atomize", "-S", "in.vcf"], tmp_path, check=True)
+    import io
+    buf = io.StringIO()
+    importer.atomize_cli(str(tmp_path / "in.vcf"), is_vcf=True, out_fp=buf)
+    assert buf.getvalue() == ref.stdout.decode()
+
+
+def test_atomize_parity_ex2(tmp_path, ref_bgt):
+    ref = run_ref(ref_bgt, ["atomize", "-S", "-M", str(REF_DIR / "ex2.vcf")],
+                  tmp_path, check=True)
+    import io
+    buf = io.StringIO()
+    importer.atomize_cli(str(REF_DIR / "ex2.vcf"), is_vcf=True, write_m=True,
+                         out_fp=buf)
+    assert buf.getvalue() == ref.stdout.decode()
+
+
+def test_atomize_parity_ex3(tmp_path, ref_bgt):
+    ref = run_ref(ref_bgt, ["atomize", "-S", "-M", str(REF_DIR / "ex3.vcf")],
+                  tmp_path, check=True)
+    import io
+    buf = io.StringIO()
+    importer.atomize_cli(str(REF_DIR / "ex3.vcf"), is_vcf=True, write_m=True,
+                         out_fp=buf)
+    assert buf.getvalue() == ref.stdout.decode()
+
+
+@pytest.mark.parametrize("seed,n_samples,n_sites", [(2, 10, 80), (3, 30, 150)])
+def test_import_parity(tmp_path, ref_bgt, seed, n_samples, n_sites):
+    """All four database files must match the reference import byte-for-byte
+    (.csi is compared structurally since bin order on disk is hash-dependent)."""
+    vcf = testing.random_vcf(n_samples=n_samples, n_sites=n_sites, seed=seed,
+                             with_filter=True)
+    (tmp_path / "in.vcf").write_text(vcf)
+    res = run_ref(ref_bgt, ["import", "-S", "refdb", "in.vcf"], tmp_path)
+    assert res.returncode == 0, res.stderr.decode()
+    importer.import_vcf(str(tmp_path / "ourdb"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    for ext in (".bcf", ".pbf", ".spl"):
+        ours = (tmp_path / f"ourdb{ext}").read_bytes()
+        ref = (tmp_path / f"refdb{ext}").read_bytes()
+        assert ours == ref, f"{ext} differs"
+    # CSI: reference must be able to query our DB and vice versa (checked in
+    # view tests); here check our CSI loads and has the same record count.
+    from bgt_tpu.formats.csi import HtsIndex
+    ours = HtsIndex.load(str(tmp_path / "ourdb.bcf.csi"))
+    theirs = HtsIndex.load(str(tmp_path / "refdb.bcf.csi"))
+    assert ours.n_rec == theirs.n_rec
+    assert ours.ridx == theirs.ridx
+    assert ours.n == theirs.n
+    for i in range(ours.n):
+        assert sorted(ours.bidx[i]) == sorted(theirs.bidx[i])
+        for b in ours.bidx[i]:
+            assert sorted(ours.bidx[i][b]) == sorted(theirs.bidx[i][b]), f"bin {b}"
+            assert ours.loff[i].get(b) == theirs.loff[i].get(b), f"loff bin {b}"
+
+
+def test_import_keep_filtered_parity(tmp_path, ref_bgt):
+    vcf = testing.random_vcf(n_samples=6, n_sites=50, seed=4, with_filter=True)
+    (tmp_path / "in.vcf").write_text(vcf)
+    res = run_ref(ref_bgt, ["import", "-SF", "refdb", "in.vcf"], tmp_path)
+    assert res.returncode == 0, res.stderr.decode()
+    importer.import_vcf(str(tmp_path / "ourdb"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True, keep_filtered=True)
+    assert (tmp_path / "ourdb.bcf").read_bytes() == (tmp_path / "refdb.bcf").read_bytes()
+    assert (tmp_path / "ourdb.pbf").read_bytes() == (tmp_path / "refdb.pbf").read_bytes()
