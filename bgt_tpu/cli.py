@@ -1,0 +1,178 @@
+"""``bgt`` command-line interface (subcommands mirror reference main.c)."""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+VERSION = "0.1.0 (bgt-compat 1.0-r284)"
+
+
+def main_import(argv, out=None, err=None) -> int:
+    from .query import importer
+    err = err or sys.stderr
+    is_vcf = None
+    keep_flt = False
+    clevel = -1
+    try:
+        opts, args = getopt.getopt(argv, "1l:SFt:")
+    except getopt.GetoptError as e:
+        print(f"[E::main_import] {e}", file=err)
+        return 1
+    for c, val in opts:
+        if c == "-S" or c == "-t":
+            is_vcf = True
+        elif c == "-l":
+            clevel = int(val)
+        elif c == "-F":
+            keep_flt = True
+    if len(args) < 2:
+        print("Usage: bgt import [options] <out-prefix> <in.bcf>|<in.vcf>|<in.vcf.gz>",
+              file=err)
+        return 1
+    importer.import_vcf(args[0], args[1:], is_vcf, keep_flt, clevel)
+    return 0
+
+
+def main_atomize(argv, out=None, err=None) -> int:
+    from .query import importer
+    err = err or sys.stderr
+    is_vcf = None
+    bcf_out = False
+    write_m = False
+    use_missing = True
+    try:
+        opts, args = getopt.getopt(argv, "0bSMt:")
+    except getopt.GetoptError as e:
+        print(f"[E::main_atomize] {e}", file=err)
+        return 1
+    for c, _val in opts:
+        if c in ("-S", "-t"):
+            is_vcf = True
+        elif c == "-b":
+            bcf_out = True
+        elif c == "-M":
+            write_m = True
+        elif c == "-0":
+            use_missing = False
+    if not args:
+        print("Usage: bgt atomize [options] <in.bcf>|<in.vcf>", file=err)
+        return 1
+    importer.atomize_cli(args[0], is_vcf, bcf_out, write_m, use_missing,
+                         out_fp=out or sys.stdout)
+    return 0
+
+
+def main_bcfidx(argv, out=None, err=None) -> int:
+    from .query import importer
+    min_shift = 14
+    opts, args = getopt.getopt(argv, "s:")
+    for c, val in opts:
+        if c == "-s":
+            min_shift = int(val)
+    if not args:
+        print("Usage: bgt bcfidx [-s minShift] <in.bcf>", file=err or sys.stderr)
+        return 1
+    importer.build_bcf_index(args[0], min_shift)
+    return 0
+
+
+def main_getalt(argv, out=None, err=None) -> int:
+    """Dump allele keys of a site BCF (view.c:185-228)."""
+    from .formats import bcf as bcflib
+    from .io.bgzf import BgzfReader
+    out = out or sys.stdout
+    if not argv:
+        print("Usage: bgt getalt <bgt-base>", file=err or sys.stderr)
+        return 1
+    fp = BgzfReader(argv[0] + ".bcf")
+    h = bcflib.BcfHeader.read_bcf(fp)
+    b = bcflib.Bcf1()
+    while b.read(fp) >= 0:
+        ref, alt = b.get_ref_alt1()
+        min_l = min(len(ref), len(alt))
+        i = 0
+        while i < min_l and ref[i] == alt[i]:
+            i += 1
+        chrom = h.id_name(bcflib.BCF_DT_CTG, b.rid)
+        out.write(f"{chrom}:{b.pos + 1 + i}:{b.rlen - i}:"
+                  f"{alt[i:].decode('latin-1')}\n")
+    fp.close()
+    return 0
+
+
+def main_fmf(argv, out=None, err=None) -> int:
+    """Standalone FMF filter (fmf.c:232-270)."""
+    from .core import kexpr
+    from .formats.fmf import Fmf, FmfStream
+    out = out or sys.stdout
+    in_mem = False
+    name_only = False
+    opts, args = getopt.getopt(argv, "mn")
+    for c, _v in opts:
+        if c == "-m":
+            in_mem = True
+        elif c == "-n":
+            name_only = True
+    if not args:
+        print("Usage: bgt fmf [-mn] <in.fmf> [condition]", file=err or sys.stderr)
+        return 1
+    ke = None
+    if len(args) >= 2:
+        ke, _err = kexpr.parse(args[1])
+    if in_mem:
+        f = Fmf.read(args[0])
+        for i in range(f.n_rows):
+            if ke is not None and not f.test(i, ke):
+                continue
+            out.write((f.row_name(i) if name_only else f.write_row(i)) + "\n")
+    else:
+        fs = FmfStream(args[0])
+        while True:
+            s = fs.read(ke, name_only)
+            if s is None:
+                break
+            out.write(s + "\n")
+        fs.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("Usage: bgt <command> <argument>\n"
+              "Commands:\n"
+              "  import       convert VCF to BGT\n"
+              "  atomize      atomize VCF\n"
+              "  view         extract from BGT\n"
+              "  fmf          manipulate FMF files\n"
+              "  bcfidx       (re)index BCF with record number index\n"
+              "  server       run the query HTTP server\n"
+              "  version      show version number", file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "import":
+        return main_import(rest)
+    if cmd == "atomize":
+        return main_atomize(rest)
+    if cmd in ("view", "mview"):
+        from .query.view import main_view
+        return main_view(rest)
+    if cmd == "fmf":
+        return main_fmf(rest)
+    if cmd == "getalt":
+        return main_getalt(rest)
+    if cmd == "bcfidx":
+        return main_bcfidx(rest)
+    if cmd == "server":
+        from .server.server import main_server
+        return main_server(rest)
+    if cmd == "version":
+        print(VERSION)
+        return 0
+    print(f"[E::main] unrecognized command '{cmd}'", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

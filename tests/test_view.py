@@ -1,0 +1,160 @@
+"""End-to-end `bgt view` byte parity against the reference binary.
+
+Covers the five canonical test.sh pipelines (on synthetic data) plus region,
+sample-subset, group, filter, allele-set, table, BED, paging and -S/-H modes.
+"""
+
+import io
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from bgt_tpu import testing
+from bgt_tpu.query import importer
+from bgt_tpu.query.view import main_view
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory, ref_bgt):
+    """One shared synthetic database imported by BOTH implementations."""
+    tmp = tmp_path_factory.mktemp("viewdb")
+    vcf = testing.random_vcf(n_samples=24, n_sites=300, seed=7, with_filter=True)
+    (tmp / "in.vcf").write_text(vcf)
+    res = subprocess.run([ref_bgt, "import", "-S", "refdb", "in.vcf"],
+                         cwd=tmp, capture_output=True)
+    assert res.returncode == 0, res.stderr.decode()
+    importer.import_vcf(str(tmp / "ourdb"), [str(tmp / "in.vcf")], is_vcf=True)
+    # metadata-extended .spl for expression queries
+    spl = testing.random_spl(24, seed=7)
+    (tmp / "refdb.spl").write_text(spl)
+    (tmp / "ourdb.spl").write_text(spl)
+    assert (tmp / "ourdb.bcf").read_bytes() == (tmp / "refdb.bcf").read_bytes()
+    assert (tmp / "ourdb.pbf").read_bytes() == (tmp / "refdb.pbf").read_bytes()
+    return tmp
+
+
+CASES = [
+    [],                                              # plain dump
+    ["-C"],                                          # with AC/AN
+    ["-G"],                                          # no GT
+    ["-GC"],
+    ["-r", "11:100000-200000"],
+    ["-r", "11:100000-200000", "-C"],
+    ["-s", ",S0001,S0003", "-f", "AC>0", "-r", "11:10000-300000"],
+    ["-s", ",S0001,S0003,S0005", "-C"],
+    ["-s", 'population=="CEU"', "-s", 'population=="YRI"',
+     "-f", "AC1/AN1>=0.1&&AC2==0", "-G"],
+    ["-s", 'gender=="M"', "-G", "-C"],
+    ["-i", "10", "-n", "25"],
+    ["-n", "0"],
+    ["-f", "AN>40&&AC>2"],
+    ["-t", "CHROM,POS,END,REF,ALT,AC,AN"],
+    ["-s", 'population=="CEU"', "-s", 'population=="TSI"',
+     "-t", "POS,AC1,AN1,AC2,AN2"],
+]
+
+
+def run_ours(args, cwd, dbname="ourdb"):
+    buf = io.StringIO()
+    errbuf = io.StringIO()
+    import os
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        ret = main_view(args + [dbname], out=buf, err=errbuf)
+    finally:
+        os.chdir(old)
+    assert ret == 0, errbuf.getvalue()
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("args", CASES, ids=[" ".join(c) or "plain" for c in CASES])
+def test_view_parity(db, ref_bgt, args):
+    ref = subprocess.run([ref_bgt, "view"] + args + ["refdb"], cwd=db,
+                         capture_output=True)
+    assert ref.returncode == 0, ref.stderr.decode()
+    ours = run_ours(args, db)
+    assert ours == ref.stdout.decode()
+
+
+def test_view_bed_parity(db, ref_bgt):
+    bed = "11\t10000\t150000\n11\t200000\t220000\n"
+    (db / "t.bed").write_text(bed)
+    for extra in ([], ["-e"]):
+        ref = subprocess.run(
+            [ref_bgt, "view", "-B", "t.bed"] + extra + ["-C", "refdb"],
+            cwd=db, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        ours = run_ours(["-B", "t.bed"] + extra + ["-C"], db)
+        assert ours == ref.stdout.decode()
+
+
+def test_view_alleles_parity(db, ref_bgt):
+    # take some allele keys via getalt, query them back with -S and -H
+    res = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=db, capture_output=True)
+    assert res.returncode == 0
+    keys = res.stdout.decode().splitlines()
+    pick = ",".join(keys[3:9])
+    for mode in (["-C"], ["-S"], ["-H"]):
+        ref = subprocess.run(
+            [ref_bgt, "view", "-a," + pick] + mode + ["refdb"],
+            cwd=db, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        ours = run_ours(["-a," + pick] + mode, db)
+        assert ours == ref.stdout.decode()
+
+
+def test_getalt_parity(db, ref_bgt):
+    ref = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=db, capture_output=True)
+    buf = io.StringIO()
+    from bgt_tpu.cli import main_getalt
+    import os
+    old = os.getcwd()
+    os.chdir(db)
+    try:
+        main_getalt(["ourdb"], out=buf)
+    finally:
+        os.chdir(old)
+    assert buf.getvalue() == ref.stdout.decode()
+
+
+def test_multi_db_merge_parity(tmp_path, ref_bgt):
+    """Two databases with different sample sets queried jointly."""
+    v1 = testing.random_vcf(n_samples=8, n_sites=120, seed=11, sample_prefix="A")
+    v2 = testing.random_vcf(n_samples=6, n_sites=110, seed=12, sample_prefix="B")
+    (tmp_path / "a.vcf").write_text(v1)
+    (tmp_path / "b.vcf").write_text(v2)
+    for name in ("a", "b"):
+        res = subprocess.run([ref_bgt, "import", "-S", f"ref{name}", f"{name}.vcf"],
+                             cwd=tmp_path, capture_output=True)
+        assert res.returncode == 0, res.stderr.decode()
+        importer.import_vcf(str(tmp_path / f"our{name}"),
+                            [str(tmp_path / f"{name}.vcf")], is_vcf=True)
+    for args in ([], ["-C"], ["-G", "-C"], ["-r", "11:10000-120000", "-C"]):
+        ref = subprocess.run([ref_bgt, "view"] + args + ["refa", "refb"],
+                             cwd=tmp_path, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        buf = io.StringIO()
+        import os
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            ret = main_view(args + ["oura", "ourb"], out=buf)
+        finally:
+            os.chdir(old)
+        assert ret == 0
+        assert buf.getvalue() == ref.stdout.decode(), f"args {args}"
+
+
+def test_cross_reading(db, ref_bgt):
+    """The reference binary must be able to query OUR database files."""
+    ref_on_ours = subprocess.run([ref_bgt, "view", "-C", "ourdb"], cwd=db,
+                                 capture_output=True)
+    assert ref_on_ours.returncode == 0, ref_on_ours.stderr.decode()
+    ref_on_ref = subprocess.run([ref_bgt, "view", "-C", "refdb"], cwd=db,
+                                capture_output=True)
+    assert ref_on_ours.stdout == ref_on_ref.stdout
+    # and we must query THEIR database
+    ours = run_ours(["-C"], db, dbname="refdb")
+    assert ours == ref_on_ref.stdout.decode()
