@@ -15,6 +15,8 @@ from __future__ import annotations
 import sys
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..formats import bcf as bcflib
 from ..formats.bcf import (BCF_BT_CHAR, BCF_BT_INT8, BCF_DT_ID, Bcf1,
                            enc_size, enc_vchar, enc_vint, enc_int1)
@@ -81,14 +83,21 @@ def _gen_at(h: bcflib.BcfHeader, b: Bcf1, atoms: list[Atom]) -> list[Atom]:
                 tr[ai.anum] = 1
             elif ai.pos < ak.pos + ak.rlen and ak.pos < ai.pos + ai.rlen:
                 tr[ai.anum] = 3
-        codes = []
         base = gt.off
-        for m in range(b.n_sample * gt.n):
-            c = (indiv[base + m] >> 1) - 1
-            c = 2 if c < 0 else tr[c]
-            codes.append(c)
-            if c == 3:
-                ak.has_multi = True
+        n_gt = b.n_sample * gt.n
+        if gt.type == bcflib.BCF_BT_INT8:
+            raw = np.frombuffer(bytes(indiv[base: base + n_gt]), dtype=np.uint8)
+            c = (raw.astype(np.int32) >> 1) - 1
+            tr_arr = np.asarray(tr, dtype=np.uint8)
+            codes = np.where(c < 0, np.uint8(2), tr_arr[np.clip(c, 0, None)])
+        else:  # rare wide GT encodings fall back to the scalar walk
+            vals = []
+            for m in range(n_gt):
+                v, _ = bcflib.dec_int1(indiv, base + m * (gt.size // gt.n), gt.type)
+                c = (v >> 1) - 1
+                vals.append(2 if c < 0 else tr[c])
+            codes = np.asarray(vals, dtype=np.uint8)
+        ak.has_multi = bool((codes == 3).any())
         ak.gt = codes
 
     if has_dup:
@@ -172,9 +181,9 @@ def atomize(h: bcflib.BcfHeader, b: Bcf1, atoms: list[Atom],
 
 
 # GT byte tables (bcf_atom2bcf2, atomic.c:249-284)
-_CONV = [1 << 1, 2 << 1, 0 << 1, 3 << 1]
-_CONV_NO_M = [1 << 1, 2 << 1, 0 << 1, 1 << 1]
-_CONV_NO_M_MISSING = [1 << 1, 2 << 1, 0 << 1, 0 << 1]
+_CONV = np.array([1 << 1, 2 << 1, 0 << 1, 3 << 1], dtype=np.uint8)
+_CONV_NO_M = np.array([1 << 1, 2 << 1, 0 << 1, 1 << 1], dtype=np.uint8)
+_CONV_NO_M_MISSING = np.array([1 << 1, 2 << 1, 0 << 1, 0 << 1], dtype=np.uint8)
 
 
 def atom_to_bcf(a: Atom, b: Bcf1, write_m: bool, id_gt: int,
@@ -199,8 +208,8 @@ def atom_to_bcf(a: Atom, b: Bcf1, write_m: bool, id_gt: int,
         enc_int1(b.indiv, id_gt)
         enc_size(b.indiv, 2, BCF_BT_INT8)
         conv = _CONV if write_m else (_CONV_NO_M_MISSING if use_missing else _CONV_NO_M)
-        ph = a.phased
-        b.indiv += bytes((conv[c] | ph) for c in a.gt)
+        codes = np.asarray(a.gt, dtype=np.uint8)
+        b.indiv += (conv[codes] | np.uint8(a.phased)).tobytes()
 
 
 class AtomBuffer:

@@ -863,7 +863,11 @@ def vcf_parse1(line: str, h: BcfHeader, v: Bcf1, verbose: int = 3) -> int:
             elif ht == BCF_HT_REAL:
                 z = [float(x) for x in val.split(",")]
                 enc_vfloat(out, z)
-    # FORMAT + samples
+    # FORMAT + samples: fast path for the dominant all-diploid single-digit
+    # GT-only shape ("a|b" / "a/b" / "." cells), vectorized with numpy
+    if len(fields) > 9 and fields[8] == "GT" and v.n_allele <= 10:
+        if _parse_gt_fast(fields, h, v):
+            return 0
     if len(fields) > 8:
         fmt_keys = fields[8].split(":")
         n_fmt = len(fmt_keys)
@@ -997,6 +1001,50 @@ def vcf_parse1(line: str, h: BcfHeader, v: Bcf1, verbose: int = 3) -> int:
                             else:
                                 out += struct.pack("<f", x)
     return 0
+
+
+def _parse_gt_fast(fields: list[str], h: BcfHeader, v: Bcf1) -> bool:
+    """Vectorized GT-only sample parse for uniform 3-char diploid cells.
+
+    Returns False (leaving v untouched) if the cells are not uniformly
+    "x?y" with single-char alleles, in which case the caller falls back to
+    the general parser.
+    """
+    import numpy as np
+    ii = h.dicts[BCF_DT_ID].get("GT")
+    if ii is None or ii.info[BCF_HL_FMT] == 15:
+        return False
+    joined = "\t".join(fields[9:])
+    n = len(fields) - 9
+    if len(joined) != 4 * n - 1:
+        return False
+    raw = np.frombuffer((joined + "\t").encode("latin-1"), dtype=np.uint8)
+    cells = raw.reshape(n, 4)
+    c1, sep, c2, tabs = cells[:, 0], cells[:, 1], cells[:, 2], cells[:, 3]
+    if not (tabs == 9).all():
+        return False
+    d1 = c1 - ord("0")
+    d2 = c2 - ord("0")
+    m1 = c1 == ord(".")
+    m2 = c2 == ord(".")
+    ok1 = m1 | (d1 < v.n_allele)
+    ok2 = m2 | (d2 < v.n_allele)
+    sep_ok = (sep == ord("|")) | (sep == ord("/"))
+    if not (ok1.all() and ok2.all() and sep_ok.all()):
+        return False
+    phased = (sep == ord("|")).astype(np.uint8)
+    x1 = np.where(m1, 0, (d1.astype(np.uint8) + 1) << 1)
+    x2 = np.where(m2, phased, (((d2.astype(np.uint8) + 1) << 1) | phased))
+    packed = np.empty(2 * n, dtype=np.uint8)
+    packed[0::2] = x1
+    packed[1::2] = x2
+    v.n_fmt = 1
+    v.n_sample = n
+    out = v.indiv
+    enc_int1(out, ii.id)
+    enc_size(out, 2, BCF_BT_INT8)
+    out += packed.tobytes()
+    return True
 
 
 def _strtol(s: str) -> int:

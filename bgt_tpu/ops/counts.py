@@ -1,0 +1,160 @@
+"""Device kernels: masked popcount genotype counting and code decode.
+
+The hot reduction of every query — per-site counts of the four genotype
+codes over the selected haplotype columns, overall and per sample group
+(reference bgt.c:735-757) — formulated as bitwise ops + popcounts over the
+packed planes so XLA keeps the whole thing in registers/VPU:
+
+    n1_0 = popcount(p0 & mask)        # code 1 or 3 (low bit set)
+    n1_1 = popcount(p1 & mask)        # code 2 or 3 (high bit set)
+    n11  = popcount(p0 & p1 & mask)   # code 3
+    cnt1 = n1_0 - n11; cnt2 = n1_1 - n11; cnt3 = n11
+    cnt0 = popcount(mask) - cnt1 - cnt2 - cnt3
+
+AN = cnt0+cnt1+cnt3, AC1 = cnt1, AC2 = cnt3 (bgt.c:746-756).
+
+A Pallas TPU kernel provides the fused row-tiled version for the benchmark
+path; the jnp formulation is the portable reference implementation (XLA
+fuses it into a single pass as well).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def count_codes(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:
+    """Per-row, per-group genotype-code counts.
+
+    p0, p1: (rows, words) uint32 packed planes.
+    masks:  (groups, words) uint32 column masks.
+    returns (rows, groups, 4) int32: counts of codes 0..3.
+
+    Groups are unrolled statically (<=33) so no (rows, groups, words)
+    intermediate is ever materialized; each group is one fused
+    and/popcount/reduce pass over the planes.
+    """
+    pc = jax.lax.population_count
+    both = p0 & p1
+    per_group = []
+    for gi in range(masks.shape[0]):
+        m = masks[gi][None, :]
+        n10 = pc(p0 & m).sum(axis=-1, dtype=jnp.int32)
+        n11 = pc(p1 & m).sum(axis=-1, dtype=jnp.int32)
+        nb = pc(both & m).sum(axis=-1, dtype=jnp.int32)
+        tot = pc(masks[gi]).sum(dtype=jnp.int32)
+        cnt1 = n10 - nb
+        cnt2 = n11 - nb
+        cnt0 = tot - cnt1 - cnt2 - nb
+        per_group.append(jnp.stack([cnt0, cnt1, cnt2, nb], axis=-1))
+    return jnp.stack(per_group, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def count_codes_range(p0, p1, masks, start, length: int):
+    """count_codes over a device-resident row slice [start, start+length)."""
+    s0 = jax.lax.dynamic_slice_in_dim(p0, start, length, axis=0)
+    s1 = jax.lax.dynamic_slice_in_dim(p1, start, length, axis=0)
+    return count_codes(s0, s1, masks)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "n_out"))
+def gather_codes_range(p0, p1, cols, start, length: int, n_out: int):
+    """Decode + column-subset a device-resident row slice."""
+    s0 = jax.lax.dynamic_slice_in_dim(p0, start, length, axis=0)
+    s1 = jax.lax.dynamic_slice_in_dim(p1, start, length, axis=0)
+    codes = decode_codes(s0, s1)
+    return jnp.take(codes, cols, axis=1)
+
+
+def site_stats(counts: jax.Array) -> dict:
+    """AN/AC vectors from (rows, groups, 4) counts (bgtm_cal_info)."""
+    tot = counts.sum(axis=1)  # (rows, 4)
+    out = {
+        "AN": tot[:, 0] + tot[:, 1] + tot[:, 3],
+        "AC": tot[:, 1],
+        "AC_M": tot[:, 3],
+    }
+    n_groups = counts.shape[1]
+    if n_groups > 1:
+        out["GAN"] = counts[:, :, 0] + counts[:, :, 1] + counts[:, :, 3]
+        out["GAC"] = counts[:, :, 1]
+        out["GAC_M"] = counts[:, :, 3]
+    return out
+
+
+@jax.jit
+def decode_codes(p0: jax.Array, p1: jax.Array) -> jax.Array:
+    """(rows, words*32) uint8 genotype codes from packed planes."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    b0 = (p0[:, :, None] >> shifts[None, None, :]) & 1
+    b1 = (p1[:, :, None] >> shifts[None, None, :]) & 1
+    codes = (b1 << 1) | b0
+    return codes.reshape(p0.shape[0], -1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def gather_codes(p0: jax.Array, p1: jax.Array, cols: jax.Array, n_out: int) -> jax.Array:
+    """Decode and column-subset in one jit: (rows, n_out) uint8 codes."""
+    codes = decode_codes(p0, p1)
+    return jnp.take(codes, cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: fused count over row tiles
+# ---------------------------------------------------------------------------
+
+def _count_kernel(p0_ref, p1_ref, mask_ref, out_ref):
+    import jax.lax as lax
+    p0 = p0_ref[:]
+    p1 = p1_ref[:]
+    g = mask_ref.shape[0]
+    pc = lax.population_count
+    for gi in range(g):  # static unroll over groups (<=32)
+        m = mask_ref[gi, :][None, :]
+        n10 = pc(p0 & m).sum(axis=1, dtype=jnp.int32)
+        n11 = pc(p1 & m).sum(axis=1, dtype=jnp.int32)
+        nb = pc(p0 & p1 & m).sum(axis=1, dtype=jnp.int32)
+        tot = pc(m).sum(dtype=jnp.int32)
+        cnt1 = n10 - nb
+        cnt2 = n11 - nb
+        cnt0 = tot - cnt1 - cnt2 - nb
+        out_ref[:, gi, 0] = cnt0
+        out_ref[:, gi, 1] = cnt1
+        out_ref[:, gi, 2] = cnt2
+        out_ref[:, gi, 3] = nb
+
+
+def count_codes_pallas(p0, p1, masks, row_tile: int = 256):
+    """Pallas-fused version of count_codes for TPU (single HBM pass)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, words = p0.shape
+    g = masks.shape[0]
+    pad = (-rows) % row_tile
+    if pad:
+        p0 = jnp.pad(p0, ((0, pad), (0, 0)))
+        p1 = jnp.pad(p1, ((0, pad), (0, 0)))
+    grid = ((rows + pad) // row_tile,)
+    out = pl.pallas_call(
+        _count_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_tile, words), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, words), lambda i: (i, 0)),
+            pl.BlockSpec((g, words), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((row_tile, g, 4), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(((rows + pad), g, 4), jnp.int32),
+    )(p0, p1, masks)
+    return out[:rows]
+
+
+def counts_to_numpy(counts) -> np.ndarray:
+    return np.asarray(counts)

@@ -1,0 +1,167 @@
+"""Genotype tile store: HBM-friendly packed 2-bit genotype matrix.
+
+The TPU-native device layout for a BGT database.  The on-disk PBF stays the
+compact interchange format (PBWT+RLE, reference-compatible); at import time
+(or lazily on first query) the matrix is ALSO materialized as two bit-planes
+packed 32 haplotypes per uint32 word, row-major:
+
+    plane0: (n_rows, n_words) uint32   # low genotype bit  (code & 1)
+    plane1: (n_rows, n_words) uint32   # high genotype bit (code >> 1)
+
+with genotype code = a1<<1|a0 in {0=ref, 1=alt, 2=missing, 3=<M>}
+(reference acf.md:21-24).  This trades disk for speed-of-light device
+scans: per-site AC/AN and per-group counts become masked popcounts on the
+VPU (8 genotypes/byte of HBM traffic), replacing the reference's sequential
+per-row RLE walk + scalar count loop (bgt.c:735-757, pbwt.c:129-170).
+
+Column (haplotype) packing is little-endian within each word: haplotype j
+lives in word j>>5 bit j&31, so numpy packbits(bitorder='little') and the
+device kernels agree.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from ..formats.pbf import PbfReader
+
+MAGIC = b"GTC\x01"
+WORD_BITS = 32
+# column padding: keep the uint8 view a multiple of 128 lanes * 4 sublanes
+COL_ALIGN = 1024
+
+
+def _pad_words(m: int) -> int:
+    return (m + COL_ALIGN - 1) // COL_ALIGN * (COL_ALIGN // WORD_BITS)
+
+
+class TileStore:
+    """In-memory (optionally disk-cached) packed genotype matrix."""
+
+    def __init__(self, n_rows: int, m: int, plane0: np.ndarray, plane1: np.ndarray):
+        self.n_rows = n_rows
+        self.m = m  # real number of haplotype columns
+        self.n_words = plane0.shape[1]
+        self.plane0 = plane0
+        self.plane1 = plane1
+
+    # --- construction ------------------------------------------------------
+
+    @classmethod
+    def from_pbf(cls, path: str, progress: bool = False) -> "TileStore":
+        pb = PbfReader(path)
+        m = pb.m
+        n_words = _pad_words(m)
+        rows0 = []
+        rows1 = []
+        n = 0
+        nbytes = n_words * 4
+        while True:
+            planes = pb.read_row()
+            if planes is None:
+                break
+            b0 = np.packbits(planes[0], bitorder="little")
+            b1 = np.packbits(planes[1], bitorder="little")
+            r0 = np.zeros(nbytes, dtype=np.uint8)
+            r1 = np.zeros(nbytes, dtype=np.uint8)
+            r0[: b0.size] = b0
+            r1[: b1.size] = b1
+            rows0.append(r0)
+            rows1.append(r1)
+            n += 1
+        pb.close()
+        if n:
+            plane0 = np.vstack(rows0).view(np.uint32)
+            plane1 = np.vstack(rows1).view(np.uint32)
+        else:
+            plane0 = np.zeros((0, n_words), np.uint32)
+            plane1 = np.zeros((0, n_words), np.uint32)
+        return cls(n, m, plane0, plane1)
+
+    @classmethod
+    def from_codes(cls, codes: np.ndarray) -> "TileStore":
+        """Build from a (n_rows, m) uint8 code matrix (tests, import)."""
+        n, m = codes.shape
+        nbytes = _pad_words(m) * 4
+        p0 = np.packbits(codes & 1, axis=1, bitorder="little")
+        p1 = np.packbits(codes >> 1, axis=1, bitorder="little")
+        out0 = np.zeros((n, nbytes), np.uint8)
+        out1 = np.zeros((n, nbytes), np.uint8)
+        out0[:, : p0.shape[1]] = p0
+        out1[:, : p1.shape[1]] = p1
+        return cls(n, m, out0.view(np.uint32), out1.view(np.uint32))
+
+    # --- disk cache --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as fp:
+            fp.write(MAGIC)
+            fp.write(struct.pack("<qii", self.n_rows, self.m, self.n_words))
+            fp.write(np.ascontiguousarray(self.plane0).tobytes())
+            fp.write(np.ascontiguousarray(self.plane1).tobytes())
+
+    @classmethod
+    def load(cls, path: str) -> "TileStore":
+        with open(path, "rb") as fp:
+            if fp.read(4) != MAGIC:
+                raise ValueError("not a GTC tile file")
+            n_rows, m, n_words = struct.unpack("<qii", fp.read(16))
+            data = np.fromfile(fp, dtype=np.uint32, count=2 * n_rows * n_words)
+        plane0 = data[: n_rows * n_words].reshape(n_rows, n_words)
+        plane1 = data[n_rows * n_words:].reshape(n_rows, n_words)
+        return cls(n_rows, m, plane0, plane1)
+
+    @classmethod
+    def open_or_build(cls, prefix: str) -> "TileStore":
+        """Load ``prefix.gtc`` if fresh, else build from ``prefix.pbf``."""
+        gtc = prefix + ".gtc"
+        pbf = prefix + ".pbf"
+        if os.path.exists(gtc) and os.path.getmtime(gtc) >= os.path.getmtime(pbf):
+            return cls.load(gtc)
+        ts = cls.from_pbf(pbf)
+        try:
+            ts.save(gtc)
+        except OSError:
+            pass
+        return ts
+
+    # --- masks -------------------------------------------------------------
+
+    def pack_mask(self, cols: np.ndarray) -> np.ndarray:
+        """(n_words,) uint32 mask with the given haplotype columns set."""
+        bits = np.zeros(self.n_words * WORD_BITS, dtype=np.uint8)
+        bits[np.asarray(cols, dtype=np.int64)] = 1
+        return np.packbits(bits, bitorder="little").view(np.uint32)
+
+    def group_masks(self, group_of_sample: np.ndarray, n_groups: int,
+                    sample_cols: np.ndarray) -> np.ndarray:
+        """(n_groups, n_words) masks; sample i covers columns 2i, 2i+1.
+
+        ``group_of_sample``: per-output-sample group id (1-based, as in the
+        reference's group[] array); ``sample_cols``: original sample index
+        per output sample.
+        """
+        masks = np.zeros((n_groups, self.n_words), dtype=np.uint32)
+        for g in range(1, n_groups + 1):
+            samples = sample_cols[group_of_sample == g]
+            cols = np.empty(samples.size * 2, dtype=np.int64)
+            cols[0::2] = samples * 2
+            cols[1::2] = samples * 2 + 1
+            masks[g - 1] = self.pack_mask(cols)
+        return masks
+
+    # --- decode ------------------------------------------------------------
+
+    def codes(self, rows: np.ndarray, cols: np.ndarray | None = None) -> np.ndarray:
+        """(len(rows), m or len(cols)) uint8 genotype codes (host path)."""
+        p0 = self.plane0[rows]
+        p1 = self.plane1[rows]
+        b0 = np.unpackbits(p0.view(np.uint8), axis=1, bitorder="little")
+        b1 = np.unpackbits(p1.view(np.uint8), axis=1, bitorder="little")
+        codes = (b1 << 1) | b0
+        if cols is not None:
+            return codes[:, cols]
+        return codes[:, : self.m]

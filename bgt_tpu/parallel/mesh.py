@@ -1,0 +1,79 @@
+"""Multi-chip sharding of the genotype matrix over a device mesh.
+
+The sample-column axis is the natural sharding seam (the TPU generalization
+of the reference's multi-database composition, bgt.c:829-842): each device
+holds a column slice of the packed planes; per-site/per-group counts are
+local masked popcounts followed by a ``psum`` over the sample axis, and
+genotype output gathers column slices with an ``all_gather`` only when GT
+emission is requested.  Site batches stream along the (optional) data
+axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..ops import counts as counts_ops
+
+SAMPLE_AXIS = "s"
+
+
+def make_mesh(devices=None, axis: str = SAMPLE_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_words_for_mesh(n_words: int, n_dev: int) -> int:
+    return (n_words + n_dev - 1) // n_dev * n_dev
+
+
+def shard_planes(mesh: Mesh, plane0: np.ndarray, plane1: np.ndarray,
+                 masks: np.ndarray):
+    """Place planes and masks on the mesh, sharded along the word axis."""
+    n_dev = mesh.devices.size
+    words = pad_words_for_mesh(plane0.shape[1], n_dev)
+    pad = words - plane0.shape[1]
+    if pad:
+        plane0 = np.pad(plane0, ((0, 0), (0, pad)))
+        plane1 = np.pad(plane1, ((0, 0), (0, pad)))
+        masks = np.pad(masks, ((0, 0), (0, pad)))
+    sh = NamedSharding(mesh, P(None, SAMPLE_AXIS))
+    return (jax.device_put(plane0, sh), jax.device_put(plane1, sh),
+            jax.device_put(masks, sh))
+
+
+def sharded_count_fn(mesh: Mesh):
+    """jitted (p0, p1, masks) -> (rows, groups, 4) with psum over columns."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, SAMPLE_AXIS), P(None, SAMPLE_AXIS), P(None, SAMPLE_AXIS)),
+        out_specs=P(None),
+    )
+    def _counts(p0, p1, masks):
+        local = counts_ops.count_codes(p0, p1, masks)
+        return jax.lax.psum(local, SAMPLE_AXIS)
+
+    return jax.jit(_counts)
+
+
+def sharded_gather_codes_fn(mesh: Mesh):
+    """jitted (p0, p1) -> (rows, words*32) uint8 codes, all-gathered."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, SAMPLE_AXIS), P(None, SAMPLE_AXIS)),
+        out_specs=P(None), check_vma=False,
+    )
+    def _codes(p0, p1):
+        local = counts_ops.decode_codes(p0, p1)
+        return jax.lax.all_gather(local, SAMPLE_AXIS, axis=1, tiled=True)
+
+    return jax.jit(_codes)

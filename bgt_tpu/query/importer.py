@@ -75,7 +75,7 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
         for a in ab:
             atom_to_bcf(a, b, write_m=True, id_gt=-1)
             b.append_info_ints(h0, "_row", [n])
-            codes = np.frombuffer(bytes(a.gt), dtype=np.uint8)
+            codes = np.asarray(a.gt, dtype=np.uint8)
             pbf.write_row([codes & 1, codes >> 1])
             b.n_sample = 0  # bcf_subset(h0, b, 0, 0)
             b.indiv = bytearray()

@@ -128,6 +128,14 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
             out.write(bm.h_out.vcf_text())
             wr = out
 
+    # batched device path for single-DB text queries
+    if bgzf_out is None:
+        from . import fastpath
+        if fastpath.applicable(opt, bm):
+            fastpath.FastView(bm, opt).run(out)
+            bm.close()
+            return 0
+
     b = Bcf1()
     n_read = 0
     n_rec = opt.n_rec if opt.n_rec is not None else float("inf")

@@ -75,20 +75,24 @@ def random_vcf(
             if not alts:
                 alts = [ref[0] + "T"]
             n_allele = len(alts) + 1
-            gts = []
-            for _s in range(n_samples):
-                a1 = int(rng.integers(0, n_allele))
-                a2 = int(rng.integers(0, n_allele))
-                s1 = "." if rng.random() < p_missing else str(a1)
-                s2 = "." if rng.random() < p_missing else str(a2)
-                gts.append(f"{s1}{sep}{s2}")
+            # vectorized GT cell assembly: (n_samples, 4) bytes "a|b\t"
+            a1 = rng.integers(0, n_allele, n_samples).astype(np.uint8) + ord("0")
+            a2 = rng.integers(0, n_allele, n_samples).astype(np.uint8) + ord("0")
+            a1[rng.random(n_samples) < p_missing] = ord(".")
+            a2[rng.random(n_samples) < p_missing] = ord(".")
+            cells = np.empty((n_samples, 4), dtype=np.uint8)
+            cells[:, 0] = a1
+            cells[:, 1] = ord(sep)
+            cells[:, 2] = a2
+            cells[:, 3] = ord("\t")
+            gt_str = cells.tobytes()[:-1].decode("latin-1")
             qual = "%g" % float(np.round(rng.random() * 200, 1))
             flt = "PASS"
             if with_filter and rng.random() < 0.1:
                 flt = "q10"
             lines.append(
                 f"{c}\t{pos}\t.\t{ref}\t{','.join(alts)}\t{qual}\t{flt}\t.\tGT\t"
-                + "\t".join(gts)
+                + gt_str
             )
     return "\n".join(lines) + "\n"
 

@@ -4,11 +4,15 @@ import sys
 from pathlib import Path
 
 # Device tests run on a virtual 8-device CPU mesh; set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# (This environment force-prepends an 'axon' TPU platform via JAX_PLATFORMS,
+# so the env var alone is not enough — override the config directly.)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

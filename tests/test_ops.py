@@ -1,0 +1,104 @@
+"""Device kernel correctness: tiles, counts, decode, sharded counts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bgt_tpu.ops import counts as counts_ops
+from bgt_tpu.ops.tiles import TileStore
+
+
+def ref_counts(codes, group_cols):
+    """Scalar oracle: counts of codes 0..3 per row per group."""
+    out = np.zeros((codes.shape[0], len(group_cols), 4), dtype=np.int64)
+    for gi, cols in enumerate(group_cols):
+        sub = codes[:, cols]
+        for c in range(4):
+            out[:, gi, c] = (sub == c).sum(axis=1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    n_rows, m = 64, 333
+    codes = rng.choice(4, size=(n_rows, m), p=[0.7, 0.2, 0.05, 0.05]).astype(np.uint8)
+    ts = TileStore.from_codes(codes)
+    return codes, ts
+
+
+def test_tiles_roundtrip(data, tmp_path):
+    codes, ts = data
+    assert np.array_equal(ts.codes(np.arange(ts.n_rows)), codes)
+    ts.save(str(tmp_path / "t.gtc"))
+    ts2 = TileStore.load(str(tmp_path / "t.gtc"))
+    assert np.array_equal(ts2.codes(np.arange(ts2.n_rows)), codes)
+
+
+def test_tiles_from_pbf(tmp_path):
+    from bgt_tpu.formats.pbf import PbfWriter
+    rng = np.random.default_rng(1)
+    codes = rng.choice(4, size=(50, 41)).astype(np.uint8)
+    w = PbfWriter(str(tmp_path / "t.pbf"), 41, 2, 4)
+    for row in codes:
+        w.write_row([row & 1, row >> 1])
+    w.close()
+    ts = TileStore.from_pbf(str(tmp_path / "t.pbf"))
+    assert np.array_equal(ts.codes(np.arange(50)), codes)
+
+
+def test_count_codes(data):
+    codes, ts = data
+    rng = np.random.default_rng(2)
+    groups = [rng.choice(ts.m, size=50, replace=False),
+              rng.choice(ts.m, size=80, replace=False),
+              np.arange(ts.m)]
+    masks = np.stack([ts.pack_mask(g) for g in groups])
+    got = np.asarray(counts_ops.count_codes(
+        jnp.asarray(ts.plane0), jnp.asarray(ts.plane1), jnp.asarray(masks)))
+    want = ref_counts(codes, groups)
+    assert np.array_equal(got, want)
+
+
+def test_decode_codes(data):
+    codes, ts = data
+    got = np.asarray(counts_ops.decode_codes(
+        jnp.asarray(ts.plane0), jnp.asarray(ts.plane1)))[:, : ts.m]
+    assert np.array_equal(got, codes)
+
+
+def test_gather_codes(data):
+    codes, ts = data
+    cols = np.array([5, 0, 300, 17, 17, 64])
+    got = np.asarray(counts_ops.gather_codes(
+        jnp.asarray(ts.plane0), jnp.asarray(ts.plane1), jnp.asarray(cols),
+        len(cols)))
+    assert np.array_equal(got, codes[:, cols])
+
+
+def test_sharded_counts_match(data):
+    from bgt_tpu.parallel import mesh as meshlib
+    codes, ts = data
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = meshlib.make_mesh()
+    rng = np.random.default_rng(3)
+    groups = [rng.choice(ts.m, size=70, replace=False), np.arange(ts.m)]
+    masks = np.stack([ts.pack_mask(g) for g in groups])
+    p0, p1, msk = meshlib.shard_planes(mesh, ts.plane0, ts.plane1, masks)
+    fn = meshlib.sharded_count_fn(mesh)
+    got = np.asarray(fn(p0, p1, msk))
+    want = ref_counts(codes, groups)
+    assert np.array_equal(got, want)
+
+
+def test_sharded_gather_codes(data):
+    from bgt_tpu.parallel import mesh as meshlib
+    codes, ts = data
+    mesh = meshlib.make_mesh()
+    masks = np.stack([ts.pack_mask(np.arange(ts.m))])
+    p0, p1, _ = meshlib.shard_planes(mesh, ts.plane0, ts.plane1, masks)
+    fn = meshlib.sharded_gather_codes_fn(mesh)
+    got = np.asarray(fn(p0, p1))[:, : ts.m]
+    assert np.array_equal(got, codes)
