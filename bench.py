@@ -45,14 +45,14 @@ def ensure_ref():
 
 def ensure_db(ref_bgt: str):
     BENCH_DIR.mkdir(parents=True, exist_ok=True)
-    stamp = BENCH_DIR / f"stamp-{N_SAMPLES}x{N_SITES}-{SEED}"
+    stamp = BENCH_DIR / f"stamp-ld-{N_SAMPLES}x{N_SITES}-{SEED}"
     if stamp.exists():
         return
     from bgt_tpu import testing
     from bgt_tpu.query import importer
 
     log(f"generating cohort VCF ({N_SAMPLES} samples x {N_SITES} sites)...")
-    vcf = testing.random_vcf(n_samples=N_SAMPLES, n_sites=N_SITES, seed=SEED)
+    vcf = testing.cohort_vcf(n_samples=N_SAMPLES, n_sites=N_SITES, seed=SEED)
     (BENCH_DIR / "in.vcf").write_text(vcf)
     log("importing (ours)...")
     t0 = time.time()

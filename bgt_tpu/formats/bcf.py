@@ -353,18 +353,25 @@ class BcfHeader:
         """
         self._parse1('##FILTER=<ID=PASS,Description="All filters passed">')
         raw = self.raw
+        limit = min(self.l_text, len(raw))
+        # scanning stops at the first NUL inside the counted region
+        nul = raw.find("\x00", 0, limit)
+        if nul >= 0:
+            limit = nul
+            terminated = True
+        else:
+            terminated = False
         p = 0
-        for q in range(self.l_text):
-            if q >= len(raw):
+        while p < limit:
+            q = raw.find("\n", p, limit)
+            if q < 0:
+                # a trailing segment without newline parses only when it is
+                # NUL-terminated inside the counted region
+                if terminated and limit > p:
+                    self._parse1(raw[p:limit])
                 break
-            c = raw[q]
-            if c != "\n" and c != "\x00":
-                continue
-            line = raw[p:q]
-            if line:
-                self._parse1(line)
-            if c == "\x00":
-                break
+            if q > p:
+                self._parse1(raw[p:q])
             p = q + 1
         self._sync()
 

@@ -248,34 +248,45 @@ class HtsIndex:
     @classmethod
     def load(cls, fn: str) -> "HtsIndex":
         fp = BgzfReader(fn if fn.endswith(".csi") else fn + ".csi")
-        magic = fp.read(4)
-        if magic != b"CSI\x01":
+        data = bytearray()
+        while True:
+            blk = fp.read(1 << 20)
+            if not blk:
+                break
+            data += blk
+        fp.close()
+        data = bytes(data)
+        if data[:4] != b"CSI\x01":
             raise ValueError("not a CSI index")
-        min_shift, n_lvls, l_meta = struct.unpack("<3I", fp.read(12))
-        if l_meta:
-            fp.read(l_meta)
-        (n,) = struct.unpack("<i", fp.read(4))
+        off = 4
+        min_shift, n_lvls, l_meta = struct.unpack_from("<3I", data, off)
+        off += 12 + l_meta
+        (n,) = struct.unpack_from("<i", data, off)
+        off += 4
         idx = cls(n, min_shift, n_lvls)
         idx._finished = True
+        import numpy as np
         for i in range(n):
-            (nb,) = struct.unpack("<i", fp.read(4))
+            (nb,) = struct.unpack_from("<i", data, off)
+            off += 4
             for _ in range(nb):
-                b, loff = struct.unpack("<IQ", fp.read(12))
-                (nchunk,) = struct.unpack("<i", fp.read(4))
-                chunks = []
-                for _ in range(nchunk):
-                    chunks.append(struct.unpack("<QQ", fp.read(16)))
-                idx.bidx[i][b] = chunks
+                b, loff = struct.unpack_from("<IQ", data, off)
+                (nchunk,) = struct.unpack_from("<i", data, off + 12)
+                off += 16
+                arr = np.frombuffer(data, dtype="<u8", count=2 * nchunk, offset=off)
+                off += 16 * nchunk
+                idx.bidx[i][b] = list(zip(arr[0::2].tolist(), arr[1::2].tolist()))
                 idx.loff[i][b] = loff
-        raw = fp.read(8)
-        idx.n_no_coor = struct.unpack("<Q", raw)[0] if len(raw) == 8 else 0
-        magic = fp.read(4)
-        if magic == b"RNI\x01":
-            (idx.n_rec,) = struct.unpack("<q", fp.read(8))
-            (idx.rec_shift,) = struct.unpack("<i", fp.read(4))
-            (nr,) = struct.unpack("<i", fp.read(4))
-            idx.ridx = list(struct.unpack(f"<{nr}Q", fp.read(8 * nr)))
-        fp.close()
+        if off + 8 <= len(data):
+            (idx.n_no_coor,) = struct.unpack_from("<Q", data, off)
+            off += 8
+        if data[off: off + 4] == b"RNI\x01":
+            off += 4
+            (idx.n_rec,) = struct.unpack_from("<q", data, off)
+            (idx.rec_shift,) = struct.unpack_from("<i", data, off + 8)
+            (nr,) = struct.unpack_from("<i", data, off + 12)
+            off += 16
+            idx.ridx = np.frombuffer(data, dtype="<u8", count=nr, offset=off).tolist()
         return idx
 
     # --- queries -----------------------------------------------------------

@@ -39,6 +39,7 @@ class SiteTable:
         nal = []
         refs = []
         alts = []
+        ref_lens = []
         b = bcflib.Bcf1()
         while b.read(fp) >= 0:
             rid.append(b.rid)
@@ -48,14 +49,22 @@ class SiteTable:
             r, a = b.get_ref_alt1()
             refs.append(r)
             alts.append(a)
+            ref_lens.append(len(r))
         fp.close()
         self.n = len(rid)
         self.rid = np.array(rid, dtype=np.int32)
         self.pos = np.array(pos, dtype=np.int64)
         self.rlen = np.array(rlen, dtype=np.int64)
         self.n_allele = np.array(nal, dtype=np.int32)
+        self.ref_len = np.array(ref_lens, dtype=np.int64)
         self.refs = refs
         self.alts = alts
+        # pre-decoded display strings (ALT includes ",<M>" for 3-allele sites)
+        self.ref_str = [r.decode("latin-1") for r in refs]
+        self.alt_str = [
+            a.decode("latin-1") + (",<M>" if nal[i] > 2 else "")
+            for i, a in enumerate(alts)
+        ]
         self.h0 = h0
 
 
@@ -244,68 +253,115 @@ class FastView:
             cols[1::2] = samples * 2 + 1
 
         n_rec = opt.n_rec if opt.n_rec is not None else None
-        emitted = 0
         h_out = bm.h_out
         ctg_names = [n for n, _ in h_out.ids[bcflib.BCF_DT_CTG]]
-        fields_vec = self._compile_fields(an, ac, counts) if bm.fields else None
 
+        # final site selection (filter + record budget)
+        sel = np.nonzero(pass_mask)[0]
+        if n_rec is not None and sel.size > n_rec:
+            sel = sel[:n_rec]
+        if sel.size == 0:
+            return
+        sel_rows = rows[sel]
+
+        if bm.fields:  # -t table mode: exact scalar field evaluation
+            gen = self._compile_fields(an, ac, counts)
+            write = out.write
+            for i, r in zip(sel.tolist(), sel_rows.tolist()):
+                write(gen(i, int(r)) + "\n")
+            return
+
+        self._emit_vcf_lines(out, sel, sel_rows, an, ac, ac_m,
+                             gan if n_groups > 1 else None,
+                             gac if n_groups > 1 else None,
+                             gac_m if n_groups > 1 else None,
+                             info_on, no_gt, None if no_gt else cols, ctg_names)
+
+    def _emit_vcf_lines(self, out, sel, sel_rows, an, ac, ac_m, gan, gac, gac_m,
+                        info_on, no_gt, cols, ctg_names) -> None:
+        """Assemble and write all passing site lines.
+
+        The dominant regular shape (biallelic, no END) is a tight f-string
+        loop over pre-stringified columns; irregular sites (<M> allele or
+        END-carrying indels) take a generic branch.  GT cells come from one
+        LUT gather for the whole batch, decoded to one big string sliced
+        per row.
+        """
+        st = self.st
+        n_groups = self.bm.n_groups
         from .view import _CELL_LUT
 
-        write = out.write
-        for lo in range(0, rows.size, BATCH_ROWS):
-            hi = min(lo + BATCH_ROWS, rows.size)
-            sl = rows[lo:hi]
-            sel = np.nonzero(pass_mask[lo:hi])[0]
-            if n_rec is not None and emitted + sel.size > n_rec:
-                sel = sel[: n_rec - emitted]
-            if sel.size == 0:
-                if n_rec is not None and emitted >= n_rec:
-                    break
-                continue
-            if not no_gt and cols.size:
-                codes = self.ts.codes(sl[sel], cols)
+        irregular = (st.n_allele[sel_rows] > 2) | (st.ref_len[sel_rows] != st.rlen[sel_rows])
+        pos1 = (st.pos[sel_rows] + 1).tolist()
+        rid_l = st.rid[sel_rows].tolist()
+        rows_l = sel_rows.tolist()
+        irr_l = irregular.tolist()
+        ref_str = st.ref_str
+        alt_str = st.alt_str
+
+        if info_on:
+            an_l = an[sel].tolist()
+            ac_l = ac[sel].tolist()
+            if n_groups > 1:
+                gvals = [gan[sel, gi // 2].tolist() if gi % 2 == 0
+                         else gac[sel, gi // 2].tolist()
+                         for gi in range(2 * n_groups)]
+                gtempl = "".join(
+                    f";AN{g + 1}={{}};AC{g + 1}={{}}" for g in range(n_groups))
+
+        # GT cells for the whole selection in one gather
+        gt_strs = None
+        if cols is not None and cols.size:
+            blocks = []
+            for lo in range(0, sel_rows.size, BATCH_ROWS):
+                codes = self.ts.codes(sel_rows[lo: lo + BATCH_ROWS], cols)
                 idx = codes[:, 0::2].astype(np.int64) * 4 + codes[:, 1::2]
-                cells = _CELL_LUT[idx]
-            for k, bi in enumerate(sel):
-                i = lo + bi
-                r = int(sl[bi])
-                parts = [
-                    ctg_names[int(st.rid[r])], "\t", str(int(st.pos[r]) + 1),
-                    "\t.\t", st.refs[r].decode("latin-1"), "\t",
-                    st.alts[r].decode("latin-1"),
-                ]
-                if st.n_allele[r] > 2:
-                    parts.append(",<M>")
-                parts.append("\t0\t.\t")
-                infos = []
-                if len(st.refs[r]) != st.rlen[r]:
-                    infos.append(f"END={int(st.pos[r] + st.rlen[r])}")
+                blocks.append(_CELL_LUT[idx])
+            cells = np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+            big = cells.tobytes().decode("latin-1")
+            w = 4 * cells.shape[1]
+            gt_strs = (big, w)
+
+        parts: list[str] = []
+        ap = parts.append
+        for k in range(len(rows_l)):
+            chrom = ctg_names[rid_l[k]]
+            r = rows_l[k]
+            if not irr_l[k]:
                 if info_on:
-                    infos.append(f"AN={int(an[i])}")
-                    if st.n_allele[r] > 2:
-                        infos.append(f"AC={int(ac[i])},{int(ac_m[i])}")
+                    if n_groups > 1:
+                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}"
+                                f"\t0\t.\tAN={an_l[k]};AC={ac_l[k]}"
+                                + gtempl.format(*(gv[k] for gv in gvals)))
                     else:
-                        infos.append(f"AC={int(ac[i])}")
+                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}"
+                                f"\t0\t.\tAN={an_l[k]};AC={ac_l[k]}")
+                else:
+                    line = f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}\t0\t.\t."
+            else:
+                infos = []
+                if st.ref_len[r] != st.rlen[r]:
+                    infos.append(f"END={int(st.pos[r] + st.rlen[r])}")
+                multi = st.n_allele[r] > 2
+                if info_on:
+                    i = sel[k]
+                    infos.append(f"AN={int(an[i])}")
+                    infos.append(f"AC={int(ac[i])},{int(ac_m[i])}" if multi
+                                 else f"AC={int(ac[i])}")
                     if n_groups > 1:
                         for gi in range(n_groups):
                             infos.append(f"AN{gi + 1}={int(gan[i, gi])}")
-                            if st.n_allele[r] > 2:
-                                infos.append(
-                                    f"AC{gi + 1}={int(gac[i, gi])},{int(gac_m[i, gi])}")
-                            else:
-                                infos.append(f"AC{gi + 1}={int(gac[i, gi])}")
-                parts.append(";".join(infos) if infos else ".")
-                if not no_gt and cols.size:
-                    parts.append("\tGT")
-                    parts.append(cells[k].tobytes().decode("latin-1"))
-                if not bm.fields:
-                    parts.append("\n")
-                    write("".join(parts))
-                else:
-                    write(fields_vec(i, r) + "\n")
-                emitted += 1
-            if n_rec is not None and emitted >= n_rec:
-                break
+                            infos.append(
+                                f"AC{gi + 1}={int(gac[i, gi])},{int(gac_m[i, gi])}"
+                                if multi else f"AC{gi + 1}={int(gac[i, gi])}")
+                line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}\t0\t.\t"
+                        + (";".join(infos) if infos else "."))
+            if gt_strs is not None:
+                big, w = gt_strs
+                line += "\tGT" + big[k * w: (k + 1) * w]
+            ap(line)
+        ap("")
+        out.write("\n".join(parts))
 
     def _site_info(self, i: int, counts: np.ndarray) -> engine.SiteInfo:
         ss = engine.SiteInfo()

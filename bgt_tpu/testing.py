@@ -97,6 +97,88 @@ def random_vcf(
     return "\n".join(lines) + "\n"
 
 
+def cohort_vcf(
+    n_samples: int = 2504,
+    n_sites: int = 20000,
+    seed: int = 0,
+    chrom: str = "11",
+    chrom_len: int = 135006516,
+    n_founders: int = 64,
+    switch_rate: float = 0.002,
+    p_multi: float = 0.1,
+    p_indel: float = 0.15,
+    p_missing: float = 0.002,
+) -> str:
+    """LD-structured cohort: sample haplotypes are founder mosaics.
+
+    Real cohorts have long shared haplotype stretches, which is what makes
+    the PBWT+RLE layout compress (reference tex/bgt.tex:132-133).  Each of
+    the 2*n_samples haplotypes copies one of ``n_founders`` founder
+    haplotypes, switching founders between consecutive sites with
+    probability ``switch_rate`` — the columns are then strongly correlated
+    and runs are long, like the 1kg data.
+    """
+    rng = np.random.default_rng(seed)
+    n_hap = 2 * n_samples
+    # founder alleles per site: mostly biallelic with realistic freq spectrum
+    freqs = rng.beta(0.2, 0.8, size=n_sites)
+    founder = (rng.random((n_sites, n_founders)) < freqs[:, None]).astype(np.uint8)
+    # founder choice paths for each haplotype
+    fid = np.empty((n_sites, n_hap), dtype=np.int32)
+    fid[0] = rng.integers(0, n_founders, n_hap)
+    switches = rng.random((n_sites - 1, n_hap)) < switch_rate
+    jumps = rng.integers(0, n_founders, (n_sites - 1, n_hap)).astype(np.int32)
+    cur = fid[0].copy()
+    for i in range(1, n_sites):
+        sw = switches[i - 1]
+        cur = np.where(sw, jumps[i - 1], cur)
+        fid[i] = cur
+    gts = founder[np.arange(n_sites)[:, None], fid]  # (sites, haps) 0/1
+    miss = rng.random((n_sites, n_hap)) < p_missing
+
+    samples = [f"S{i:04d}" for i in range(n_samples)]
+    lines = [
+        "##fileformat=VCFv4.1",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        f"##contig=<ID={chrom},length={chrom_len}>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(samples),
+    ]
+    positions = np.sort(rng.choice(
+        np.arange(10_000, chrom_len - 10_000), size=n_sites, replace=False))
+    cells = np.empty((n_hap // 2, 4), dtype=np.uint8)
+    cells[:, 1] = ord("|")
+    cells[:, 3] = ord("\t")
+    for i in range(n_sites):
+        pos = int(positions[i])
+        is_indel = rng.random() < p_indel
+        if is_indel:
+            rl = int(rng.integers(2, 5))
+            ref = "".join(BASES[k] for k in rng.integers(0, 4, rl))
+            alt = ref[0]
+        else:
+            r = int(rng.integers(0, 4))
+            ref = BASES[r]
+            alt = BASES[(r + 1 + int(rng.integers(0, 3))) % 4]
+            if alt == ref:
+                alt = BASES[(r + 1) % 4]
+        alts = [alt]
+        row = gts[i] + ord("0")
+        if rng.random() < p_multi and not is_indel:
+            a2 = BASES[(BASES.index(ref) + 2) % 4]
+            if a2 not in (ref, alt):
+                alts.append(a2)
+                promote = (gts[i] == 1) & (rng.random(n_hap) < 0.3)
+                row = np.where(promote, ord("2"), row).astype(np.uint8)
+        row = np.where(miss[i], ord("."), row).astype(np.uint8)
+        cells[:, 0] = row[0::2]
+        cells[:, 2] = row[1::2]
+        gt_str = cells.tobytes()[:-1].decode("latin-1")
+        lines.append(f"{chrom}\t{pos}\t.\t{ref}\t{','.join(alts)}\t100\tPASS\t.\tGT\t"
+                     + gt_str)
+    return "\n".join(lines) + "\n"
+
+
 def random_spl(n_samples: int, seed: int = 0, sample_prefix: str = "S",
                populations=("CEU", "YRI", "CHB", "TSI")) -> str:
     """Sample metadata in FMF with population and gender keys."""
