@@ -1,0 +1,232 @@
+"""HTTP query server (twin of the reference Go server, bgt-server.go).
+
+GET parameters mirror ``bgt view`` flags: s/r/i/n/a/f/t/g/C/S/H, with
+``.and.``/``.or.`` operator rewriting (``&&`` clashes with the query-string
+separator), MGS privacy enforcement via 403, per-query genotype quota with a
+trailing ``*`` truncation marker, and a self-documenting help page on a bare
+request (bgt-server.go:159-373).
+
+Databases are opened once and shared read-only across request threads (each
+request builds its own reader state); the device tile store is likewise
+shared, so concurrent queries ride the same HBM-resident matrix.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlsplit
+
+from ..formats import bcf as bcflib
+from ..formats.fmf import Fmf
+from ..io import files
+from ..query import engine
+from ..query.engine import (F_CNT_AL, F_CNT_HAP, F_NO_GT, F_SET_AC, BgtFile,
+                            BgtmReader)
+
+
+class ServerConfig:
+    def __init__(self):
+        self.port = 8000
+        self.max_gt = 10_000_000
+        self.min_group = 0
+        self.vardb: Fmf | None = None
+        self.files: list[BgtFile] = []
+        self.prefixes: list[str] = []
+
+
+def _replace_op(t: str) -> str:
+    return (t.replace(".AND.", "&&").replace(".and.", "&&")
+            .replace(".OR.", "||").replace(".or.", "||"))
+
+
+def help_text(cfg: ServerConfig, host: str) -> str:
+    out = []
+    w = out.append
+    w("Server Configuration")
+    w("====================\n")
+    w("The following configurations were set when the server was launched. "
+      "Clients can't override them.\n")
+    w(" * BGT file prefix(es) and queryable sample annotations:")
+    for i, bf in enumerate(cfg.files):
+        w(f"   - {cfg.prefixes[i]}: {bf.f.keys}")
+    w("")
+    if cfg.vardb is not None:
+        w(f" * Queryable variant annotations: {cfg.vardb.keys}\n")
+    else:
+        w(" * No variant annotations specified.\n")
+    w(" * This server may report individual genotypes.\n")
+    w(f" * Maximal genotypes processed internally per query: {cfg.max_gt}\n")
+    w("Accepted Parameters")
+    w("===================\n")
+    w("  s EXPR  sample list (,sample1,sample2) or metadata expression; each 's' defines a group")
+    w("  r STR   region like '11:200,000-300,000'")
+    w("  i INT   start from the i-th record (INT>0)")
+    w("  n INT   read at most INT records")
+    w("  a EXPR  allele list chr:1basedPos:refLen:alleleSeq, or expression over variant annotations")
+    w("  f EXPR  site filter over AC, AN, AC#, AN# (use .and. / .or. for logical operators)")
+    w("  g       output sample genotypes")
+    w("  C       output AC/AN INFO fields (automatic with 's')")
+    w("  S       output samples having requested alleles (with 'a')")
+    w("  H       output counts of haplotypes across requested alleles (with 'a')")
+    w("  t STR   tabular output fields: CHROM, POS, END, REF, ALT, AC, AN, AC#, AN#")
+    return "\n".join(out) + "\n"
+
+
+def run_query(cfg: ServerConfig, form: dict) -> tuple[int, str]:
+    """Execute one request; returns (http_status, body)."""
+    flag = F_NO_GT
+    max_read = 2147483647
+    vcf_out = True
+    bm = BgtmReader(cfg.files)
+    try:
+        bm.set_mgs(cfg.min_group)
+        if "g" in form:
+            flag &= ~F_NO_GT
+        if "C" in form or "s" in form:
+            flag |= F_SET_AC
+        if "S" in form:
+            flag |= F_CNT_AL
+        if "H" in form:
+            flag |= F_CNT_HAP
+        bm.set_flag(flag)
+        if flag & (F_CNT_AL | F_CNT_HAP):
+            vcf_out = False
+        if "f" in form:
+            if bm.set_flt_site(_replace_op(form["f"][0])) != 0:
+                return 400, "400 Bad Request: failed to parse parameter 'f'\n"
+        if "r" in form:
+            if bm.set_region(form["r"][0]) < 0:
+                return 400, "400 Bad Request: failed to set region with parameter 'r'\n"
+        if "i" in form:
+            try:
+                i = int(form["i"][0])
+            except ValueError:
+                i = 0
+            if i < 1:
+                return 400, "400 Bad Request: failed to set start with parameter 'i'\n"
+            bm.set_start(i)
+        if "n" in form:
+            try:
+                max_read = int(form["n"][0])
+            except ValueError:
+                max_read = 0
+        if "t" in form:
+            vcf_out = False
+            if bm.set_table(form["t"][0]) < 0:
+                return 400, "400 Bad Request: failed to parse tabular format with parameter 't'\n"
+        if "a" in form:
+            n_al = bm.set_alleles(_replace_op(form["a"][0]), cfg.vardb, None)
+            if n_al < 0:
+                return 400, "400 Bad Request: failed to retrieve alleles with parameter 'a'\n"
+            if n_al == 0:
+                return 204, "204 No Content: no alleles matching parameter 'a'\n"
+        if "s" in form:
+            for s in form["s"]:
+                if bm.add_group(_replace_op(s)) < 0:
+                    return 400, "400 Bad Request: failed to set sample group with parameter 's'\n"
+        bm.prepare()
+        if not bm.test_mgs():
+            return 403, ("403 Forbidden: genotype summary can't be computed "
+                         "for small sample groups\n")
+
+        out = []
+        if vcf_out:
+            out.append(bm.h_out.text + "\n")
+        b = bcflib.Bcf1()
+        n_read = 0
+        while True:
+            if n_read > max_read or bm.n_gt_read > cfg.max_gt:
+                break
+            ret = bm.read(b)
+            if ret < 0:
+                break
+            if vcf_out:
+                out.append(bcflib.vcf_format1(bm.h_out, b) + "\n")
+            elif bm.fields:
+                out.append(bm.tbl_line + "\n")
+            n_read += 1
+        if not vcf_out and len(bm.aal) > 0:
+            if flag & F_CNT_HAP:
+                out.append(bm.hapcnt_print())
+            if flag & F_CNT_AL:
+                out.append(bm.alcnt_print())
+        if n_read > max_read or bm.n_gt_read > cfg.max_gt:
+            out.append("*\n")
+        return 200, "".join(out)
+    finally:
+        bm.close()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    cfg: ServerConfig = None
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):
+        print(f"[{time.time_ns()}] {fmt % args}", file=sys.stderr)
+
+    def do_GET(self):
+        url = urlsplit(self.path)
+        raw = url.query.replace("&&", ".AND.")
+        pairs = parse_qsl(raw, keep_blank_values=True)
+        form: dict[str, list[str]] = {}
+        for k, v in pairs:
+            form.setdefault(k, []).append(v)
+        if not form:
+            body = help_text(self.cfg, self.headers.get("Host", "localhost"))
+            status = 200
+        else:
+            try:
+                status, body = run_query(self.cfg, form)
+            except Exception as e:  # noqa: BLE001
+                status, body = 500, f"500 Internal Server Error: {e}\n"
+        data = body.encode("latin-1", errors="replace")
+        self.send_response(status)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def make_server(cfg: ServerConfig) -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"cfg": cfg})
+    return ThreadingHTTPServer(("", cfg.port), handler)
+
+
+def main_server(argv: list[str]) -> int:
+    import getopt as _getopt
+    cfg = ServerConfig()
+    if os.environ.get("PORT"):
+        cfg.port = int(os.environ["PORT"])
+    opts, args = _getopt.getopt(argv, "d:p:m:g:")
+    for c, val in opts:
+        if c == "-p":
+            cfg.port = int(val)
+        elif c == "-m":
+            cfg.max_gt = int(val)
+        elif c == "-d":
+            cfg.vardb = Fmf.read(val)
+        elif c == "-g":
+            cfg.min_group = int(val)
+    if not args:
+        print("Usage: bgt server [options] <bgt.pre1> [...]\n"
+              "Options:\n"
+              f"  -p INT    port number [{cfg.port} or from $PORT env]\n"
+              f"  -m INT    maximal genotypes processed per query [{cfg.max_gt}]\n"
+              "  -d FILE   variant annotations in the FMF format []\n"
+              "  -g INT    minimal sample group size (force -G if positive) [0]",
+              file=sys.stderr)
+        return 1
+    files.no_file = True  # server mode: expressions never name local files
+    cfg.files = [BgtFile(p) for p in args]
+    cfg.prefixes = [os.path.basename(p) for p in args]
+    srv = make_server(cfg)
+    print(f"[{time.time_ns()}] launched at port {cfg.port}", file=sys.stderr)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
