@@ -1,0 +1,95 @@
+"""ctypes bindings for the native host runtime (libbgt_host.so).
+
+The C++ library implements the sequential PBWT codec loops (PBF encode for
+import, PBF->tile decode for device loading).  Everything degrades to the
+vectorized-numpy implementations when the library is missing; tests assert
+both paths produce identical bytes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+_SO = _REPO / "build" / "lib" / "libbgt_host.so"
+_lib = None
+_tried = False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("BGT_TPU_NO_NATIVE"):
+        return None
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < (
+            _REPO / "native" / "bgt_host.cpp"
+        ).stat().st_mtime:
+            subprocess.run(["sh", str(_REPO / "tools" / "build_native.sh")],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_SO))
+    except (OSError, subprocess.SubprocessError):
+        return None
+    lib.bgt_pbf_writer_open.restype = ctypes.c_void_p
+    lib.bgt_pbf_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                                        ctypes.c_int32, ctypes.c_int32]
+    lib.bgt_pbf_writer_write.restype = ctypes.c_int64
+    lib.bgt_pbf_writer_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                         ctypes.c_int64]
+    lib.bgt_pbf_writer_close.restype = ctypes.c_int
+    lib.bgt_pbf_writer_close.argtypes = [ctypes.c_void_p]
+    lib.bgt_gtc_from_pbf.restype = ctypes.c_int64
+    lib.bgt_gtc_from_pbf.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                     ctypes.c_int32]
+    _lib = lib
+    return _lib
+
+
+class NativePbfWriter:
+    """Streaming PBF writer backed by the C++ codec."""
+
+    def __init__(self, path: str, m: int, g: int, shift: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.m = m
+        self._h = lib.bgt_pbf_writer_open(path.encode(), m, g, shift)
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+        self.n = 0
+
+    def write_codes(self, codes) -> None:
+        """codes: (n_rows, m) or (m,) uint8 genotype codes."""
+        import numpy as np
+        arr = np.ascontiguousarray(codes, dtype=np.uint8)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        assert arr.shape[1] == self.m
+        ret = self._lib.bgt_pbf_writer_write(
+            self._h, arr.ctypes.data_as(ctypes.c_char_p), arr.shape[0])
+        if ret < 0:
+            raise OSError("native PBF write failed")
+        self.n = ret
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.bgt_pbf_writer_close(self._h)
+            self._h = None
+
+
+def gtc_from_pbf(pbf_path: str, gtc_path: str, col_align: int = 1024) -> int | None:
+    """Native PBF -> GTC conversion; returns n_rows, or None if no library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ret = lib.bgt_gtc_from_pbf(pbf_path.encode(), gtc_path.encode(), col_align)
+    if ret < 0:
+        raise OSError(f"native gtc conversion failed ({ret})")
+    return int(ret)

@@ -121,6 +121,12 @@ class TileStore:
         pbf = prefix + ".pbf"
         if os.path.exists(gtc) and os.path.getmtime(gtc) >= os.path.getmtime(pbf):
             return cls.load(gtc)
+        from .. import native
+        try:
+            if native.gtc_from_pbf(pbf, gtc) is not None:
+                return cls.load(gtc)
+        except OSError:
+            pass
         ts = cls.from_pbf(pbf)
         try:
             ts.save(gtc)

@@ -62,7 +62,12 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
         for s in h.samples:
             fp.write(s + "\n")
 
-    pbf = PbfWriter(f"{prefix}.pbf", n_samples * 2, 2, PBF_SHIFT)
+    from .. import native
+    pbf = None
+    try:
+        pbf = native.NativePbfWriter(f"{prefix}.pbf", n_samples * 2, 2, PBF_SHIFT)
+    except (RuntimeError, OSError):
+        pbf = PbfWriter(f"{prefix}.pbf", n_samples * 2, 2, PBF_SHIFT)
     out = BgzfWriter(f"{prefix}.bcf", clevel)
     h0.write_bcf(out)
 
@@ -76,7 +81,10 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
             atom_to_bcf(a, b, write_m=True, id_gt=-1)
             b.append_info_ints(h0, "_row", [n])
             codes = np.asarray(a.gt, dtype=np.uint8)
-            pbf.write_row([codes & 1, codes >> 1])
+            if isinstance(pbf, PbfWriter):
+                pbf.write_row([codes & 1, codes >> 1])
+            else:
+                pbf.write_codes(codes)
             b.n_sample = 0  # bcf_subset(h0, b, 0, 0)
             b.indiv = bytearray()
             b.write(out)

@@ -1,0 +1,275 @@
+// Native host runtime for bgt_tpu: the sequential hot loops that feed the
+// TPU compute path.  Implements the PBF (positional-BWT + RLE) codec for
+// import (encode) and device-tile building (decode), against the on-disk
+// format documented in bgt_tpu/formats/pbf.py (byte-compatible with the
+// reference implementation's pbwt.c container).
+//
+// Build: tools/build_native.sh -> build/lib/libbgt_host.so
+// Bindings: ctypes (bgt_tpu/native.py); everything falls back to the
+// vectorized-numpy paths when the library is absent.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// RLE: byte = (len<<1|bit) for len<16, else one byte per nonzero nibble of
+// the 32-bit length, high nibble first: ((pos<<4|nibble)<<1|bit).
+// ---------------------------------------------------------------------------
+
+inline size_t rle_emit_run(uint8_t* out, uint32_t len, int bit) {
+    if (len < 16) {
+        *out = (uint8_t)(len << 1 | bit);
+        return 1;
+    }
+    uint8_t* q = out;
+    for (int pos = 7; pos >= 0; --pos) {
+        uint32_t nib = (len >> (4 * pos)) & 0xFu;
+        if (nib) *q++ = (uint8_t)((((uint32_t)pos << 4 | nib) << 1) | bit);
+    }
+    return (size_t)(q - out);
+}
+
+inline uint32_t rle_run_len(uint8_t v) {
+    uint32_t t = v >> 1;
+    return (t & 0xFu) << (4 * (t >> 4));
+}
+
+struct PbwtPlane {
+    int32_t m;
+    std::vector<int32_t> S;     // current permutation
+    std::vector<int32_t> Snew;  // scratch
+    std::vector<uint8_t> u;     // transformed row scratch
+    std::vector<uint8_t> rle;   // rle scratch
+
+    explicit PbwtPlane(int32_t m_) : m(m_), S(m_), Snew(m_), u(m_) {
+        for (int32_t j = 0; j < m; ++j) S[j] = j;
+        rle.resize((size_t)m * 2 + 16);
+    }
+
+    // encode one row of 0/1 bits given in original column order
+    // returns rle length (bytes stay in this->rle)
+    int32_t encode(const uint8_t* bits) {
+        int32_t n1 = 0;
+        for (int32_t j = 0; j < m; ++j) {
+            uint8_t b = bits[S[j]] ? 1 : 0;
+            u[j] = b;
+            n1 += b;
+        }
+        // stable partition S by u
+        int32_t p0 = 0, p1 = m - n1;
+        for (int32_t j = 0; j < m; ++j) {
+            if (u[j]) Snew[p1++] = S[j];
+            else Snew[p0++] = S[j];
+        }
+        S.swap(Snew);
+        // run-length encode u
+        uint8_t* out = rle.data();
+        size_t o = 0;
+        uint32_t len = 1;
+        uint8_t last = u[0];
+        for (int32_t j = 1; j < m; ++j) {
+            if (u[j] == last) {
+                ++len;
+            } else {
+                o += rle_emit_run(out + o, len, last);
+                len = 1;
+                last = u[j];
+            }
+        }
+        o += rle_emit_run(out + o, len, last);
+        return (int32_t)o;
+    }
+
+    // decode one RLE row; sets bits (bit j of out_words for column j) for
+    // 1-valued columns.  out_words must be zeroed by the caller.
+    void decode_to_bits(const uint8_t* rle_in, int32_t l, uint32_t* out_words) {
+        // count ones
+        int64_t n1 = 0;
+        for (int32_t i = 0; i < l; ++i)
+            if (rle_in[i] & 1) n1 += rle_run_len(rle_in[i]);
+        if (n1 == 0) return;  // all zero, S unchanged
+        if (n1 == m) {        // all one, S unchanged
+            for (int32_t j = 0; j < m; ++j)
+                out_words[(uint32_t)j >> 5] |= 1u << (j & 31);
+            return;
+        }
+        int32_t p0 = 0, p1 = (int32_t)(m - n1);
+        int32_t s = 0;
+        for (int32_t i = 0; i < l; ++i) {
+            int32_t run = (int32_t)rle_run_len(rle_in[i]);
+            int bit = rle_in[i] & 1;
+            const int32_t* src = S.data() + s;
+            if (bit) {
+                for (int32_t k = 0; k < run; ++k) {
+                    uint32_t idx = (uint32_t)src[k];
+                    out_words[idx >> 5] |= 1u << (idx & 31);
+                }
+                memcpy(Snew.data() + p1, src, (size_t)run * 4);
+                p1 += run;
+            } else {
+                memcpy(Snew.data() + p0, src, (size_t)run * 4);
+                p0 += run;
+            }
+            s += run;
+        }
+        S.swap(Snew);
+    }
+};
+
+bool write_all(FILE* fp, const void* buf, size_t n) {
+    return fwrite(buf, 1, n, fp) == n;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Streaming PBF writer
+// ---------------------------------------------------------------------------
+
+struct PbfWriterHandle {
+    FILE* fp;
+    int32_t m, g, shift;
+    int64_t n;
+    std::vector<PbwtPlane*> planes;
+    std::vector<uint64_t> idx;
+    std::vector<uint8_t> bits;  // plane-bit scratch
+};
+
+extern "C" {
+
+void* bgt_pbf_writer_open(const char* path, int32_t m, int32_t g, int32_t shift) {
+    FILE* fp = fopen(path, "wb");
+    if (!fp) return nullptr;
+    auto* h = new PbfWriterHandle();
+    h->fp = fp;
+    h->m = m;
+    h->g = g;
+    h->shift = shift;
+    h->n = 0;
+    for (int i = 0; i < g; ++i) h->planes.push_back(new PbwtPlane(m));
+    h->bits.resize((size_t)m);
+    fwrite("PBF\1", 1, 4, fp);
+    int32_t v[3] = {m, g, shift};
+    fwrite(v, 4, 3, fp);
+    return h;
+}
+
+// codes: n_rows * m genotype codes; plane k takes bit k of each code
+int64_t bgt_pbf_writer_write(void* hv, const uint8_t* codes, int64_t n_rows) {
+    auto* h = (PbfWriterHandle*)hv;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const uint8_t* row = codes + r * h->m;
+        if ((h->n & ((1ll << h->shift) - 1)) == 0) {
+            h->idx.push_back((uint64_t)ftello(h->fp));
+            fputc('S', h->fp);
+            for (auto* pl : h->planes)
+                if (!write_all(h->fp, pl->S.data(), (size_t)h->m * 4)) return -1;
+        }
+        fputc('B', h->fp);
+        for (int k = 0; k < h->g; ++k) {
+            auto* pl = h->planes[k];
+            for (int32_t j = 0; j < h->m; ++j)
+                h->bits[j] = (row[j] >> k) & 1;
+            int32_t l = pl->encode(h->bits.data());
+            if (!write_all(h->fp, &l, 4)) return -1;
+            if (!write_all(h->fp, pl->rle.data(), (size_t)l)) return -1;
+        }
+        ++h->n;
+    }
+    return h->n;
+}
+
+int bgt_pbf_writer_close(void* hv) {
+    auto* h = (PbfWriterHandle*)hv;
+    uint64_t off = (uint64_t)ftello(h->fp);
+    fputc('I', h->fp);
+    int32_t n_idx = (int32_t)h->idx.size();
+    write_all(h->fp, &h->n, 8);
+    write_all(h->fp, &n_idx, 4);
+    write_all(h->fp, h->idx.data(), h->idx.size() * 8);
+    write_all(h->fp, &off, 8);
+    int ret = fclose(h->fp);
+    for (auto* pl : h->planes) delete pl;
+    delete h;
+    return ret;
+}
+
+// ---------------------------------------------------------------------------
+// One-shot PBF -> GTC (packed tile) conversion
+// ---------------------------------------------------------------------------
+
+// GTC layout (bgt_tpu/ops/tiles.py): "GTC\1" + int64 n_rows + int32 m +
+// int32 n_words; then plane0 rows then plane1 rows, uint32 LE words with
+// column j at word j>>5 bit j&31.
+int64_t bgt_gtc_from_pbf(const char* pbf_path, const char* gtc_path,
+                         int32_t col_align) {
+    FILE* in = fopen(pbf_path, "rb");
+    if (!in) return -1;
+    char magic[4];
+    if (fread(magic, 1, 4, in) != 4 || memcmp(magic, "PBF\1", 4) != 0) {
+        fclose(in);
+        return -2;
+    }
+    int32_t m, g, shift;
+    if (fread(&m, 4, 1, in) != 1 || fread(&g, 4, 1, in) != 1 ||
+        fread(&shift, 4, 1, in) != 1 || g != 2) {
+        fclose(in);
+        return -3;
+    }
+    if (col_align < 32) col_align = 1024;
+    int32_t n_words = (m + col_align - 1) / col_align * (col_align / 32);
+
+    std::vector<PbwtPlane*> planes;
+    for (int k = 0; k < g; ++k) planes.push_back(new PbwtPlane(m));
+    std::vector<uint8_t> rlebuf((size_t)m * 2 + 16);
+    // accumulate planes in memory (row-major per plane)
+    std::vector<std::vector<uint32_t>> plane_data(g);
+    int64_t n_rows = 0;
+    for (;;) {
+        int t = fgetc(in);
+        if (t == 'S') {
+            for (int k = 0; k < g; ++k)
+                if (fread(planes[k]->S.data(), 4, (size_t)m, in) != (size_t)m)
+                    goto done;
+            t = fgetc(in);
+        }
+        if (t != 'B') break;
+        for (int k = 0; k < g; ++k) {
+            int32_t l;
+            if (fread(&l, 4, 1, in) != 1) goto done;
+            if ((size_t)l > rlebuf.size()) rlebuf.resize(l);
+            if (fread(rlebuf.data(), 1, (size_t)l, in) != (size_t)l) goto done;
+            auto& pd = plane_data[k];
+            pd.resize(pd.size() + n_words, 0u);
+            planes[k]->decode_to_bits(rlebuf.data(), l,
+                                      pd.data() + pd.size() - n_words);
+        }
+        ++n_rows;
+    }
+done:
+    fclose(in);
+    for (auto* pl : planes) delete pl;
+    FILE* out = fopen(gtc_path, "wb");
+    if (!out) return -4;
+    fwrite("GTC\1", 1, 4, out);
+    fwrite(&n_rows, 8, 1, out);
+    fwrite(&m, 4, 1, out);
+    fwrite(&n_words, 4, 1, out);
+    for (int k = 0; k < g; ++k)
+        if (!write_all(out, plane_data[k].data(), plane_data[k].size() * 4)) {
+            fclose(out);
+            return -5;
+        }
+    if (fclose(out) != 0) return -6;
+    return n_rows;
+}
+
+const char* bgt_host_version(void) { return "bgt_host 0.1"; }
+
+}  // extern "C"

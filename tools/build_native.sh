@@ -1,0 +1,12 @@
+#!/bin/sh
+# Build the native host runtime (libbgt_host.so) into build/lib/.
+set -e
+DIR=$(dirname "$0")/..
+OUT="$DIR/build/lib"
+mkdir -p "$OUT"
+SRC="$DIR/native/bgt_host.cpp"
+SO="$OUT/libbgt_host.so"
+if [ ! -e "$SO" ] || [ "$SRC" -nt "$SO" ]; then
+    g++ -O3 -march=native -shared -fPIC -o "$SO" "$SRC"
+    echo "built $SO"
+fi
