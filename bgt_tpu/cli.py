@@ -137,6 +137,155 @@ def main_fmf(argv, out=None, err=None) -> int:
     return 0
 
 
+def main_pbfview(argv, out=None, err=None) -> int:
+    """PBF <-> PIM converter and subset viewer (reference pbfview.c)."""
+    import numpy as np
+    from .formats.pbf import PbfReader, PbfWriter
+    out = out or sys.stdout
+    in_txt = False
+    out_pbf = False
+    shift = 13
+    row_start = 0
+    n_rec = None
+    sub = []
+    opts, args = getopt.getopt(argv, "Sbc:r:n:s:")
+    for c, val in opts:
+        if c == "-S":
+            in_txt = True
+        elif c == "-b":
+            out_pbf = True
+        elif c == "-r":
+            row_start = int(val)
+        elif c == "-n":
+            n_rec = int(val)
+        elif c == "-s":
+            shift = int(val)
+        elif c == "-c":
+            sub.append(int(val))
+    if not args:
+        print("Usage: bgt pbfview [-Sb] [-s shift] [-r row] [-n rows] [-c col]... "
+              "<in.pbf>|<in.pim>", file=err or sys.stderr)
+        return 1
+
+    def open_writer(m, g):
+        raw = out.buffer if hasattr(out, "buffer") else out
+
+        class _Stream:
+            # non-seekable sink: like the reference writing to stdout, the
+            # footer offsets become (uint64)-1 (pbwt.c ftell on a pipe)
+            def write(self, b):
+                raw.write(b)
+
+            def tell(self):
+                return (1 << 64) - 1
+
+            def close(self):
+                pass
+
+        w = PbfWriter.__new__(PbfWriter)
+        w.fp = _Stream()
+        from .formats import pbf as pbfmod
+        import struct as _struct
+        w.m, w.g, w.shift = m, g, shift
+        w.codecs = [pbfmod.PbwtCodec(m) for _ in range(g)]
+        w.n = 0
+        w.idx = []
+        w.fp.write(pbfmod.MAGIC)
+        w.fp.write(_struct.pack("<3i", m, g, shift))
+        return w
+
+    if in_txt:
+        import sys as _sys
+        fp = open(args[0]) if args[0] != "-" else _sys.stdin
+        toks = fp.read().split()
+        assert toks[0] == "PIM1"
+        m, g = int(toks[1]), int(toks[2])
+        vals = np.array([int(x) for x in toks[3:]], dtype=np.uint64)
+        n_rows = vals.size // m
+        vals = vals[: n_rows * m].reshape(n_rows, m)
+        if out_pbf:
+            w = open_writer(m, g)
+            for row in vals:
+                w.write_row([((row >> k) & 1).astype(np.uint8) for k in range(g)])
+            w.close()
+        else:
+            out.write(f"PIM1 {m} {g}\n")
+            for row in vals:
+                out.write(" ".join(str(int(x)) for x in row) + "\n")
+    else:
+        r = PbfReader(args[0])
+        m = len(sub) if sub else r.m
+        g = r.g
+        if row_start > 0:
+            r.seek(row_start)
+        if sub:
+            r.subset(sub)
+        if out_pbf:
+            w = open_writer(m, g)
+        else:
+            w = None
+            out.write(f"PIM1 {m} {g}\n")
+        i = 0
+        while n_rec is None or i < n_rec:
+            planes = r.read_row()
+            if planes is None:
+                break
+            if w is not None:
+                w.write_row(planes)
+            else:
+                x = sum((p.astype(np.uint64) << k) for k, p in enumerate(planes))
+                out.write(" ".join(str(int(v)) for v in x) + "\n")
+            i += 1
+        if w is not None:
+            w.close()
+        r.close()
+    return 0
+
+
+def main_kexpr(argv, out=None, err=None) -> int:
+    """Standalone expression evaluator (reference kexpr.c KE_MAIN)."""
+    from .core import kexpr
+    out = out or sys.stdout
+    to_print = False
+    opts, args = getopt.getopt(argv, "pi")
+    for c, _v in opts:
+        if c == "-p":
+            to_print = True
+    if not args:
+        print("Usage: bgt kexpr [-pi] <expr> [var=value]...", file=err or sys.stderr)
+        return 1
+    ke, errflag = kexpr.parse(args[0])
+    if errflag:
+        print(f"Parse error: {errflag:#x}", file=err or sys.stderr)
+        return 1
+    if to_print:
+        toks = []
+        for e in ke.rpn:
+            if e.ttype == 1:
+                toks.append(e.name if e.name else (
+                    "%g" % e.r if e.vtype == kexpr.KEV_REAL
+                    else str(e.i) if e.vtype == kexpr.KEV_INT else f'"{e.s}"'))
+            else:
+                toks.append(e.name)
+        out.write(" ".join(toks) + "\n")
+        return 0
+    for a in args[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            try:
+                ke.set_real(k, float(v))
+            except ValueError:
+                ke.set_real(k, 0.0)
+    errflag, i, r, s, t = ke.eval()
+    if t == kexpr.KEV_INT:
+        out.write(f"{i}\n")
+    elif t == kexpr.KEV_REAL:
+        out.write("%g\n" % r)
+    else:
+        out.write(f"{s}\n")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -164,6 +313,10 @@ def main(argv=None) -> int:
         return main_getalt(rest)
     if cmd == "bcfidx":
         return main_bcfidx(rest)
+    if cmd == "pbfview":
+        return main_pbfview(rest)
+    if cmd == "kexpr":
+        return main_kexpr(rest)
     if cmd == "server":
         from .server.server import main_server
         return main_server(rest)
