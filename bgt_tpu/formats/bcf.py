@@ -791,7 +791,8 @@ def vcf_parse1(line: str, h: BcfHeader, v: Bcf1, verbose: int = 3) -> int:
     v.n_info = 0
     v.n_sample = 0
     v.mark_dirty()
-    fields = line.rstrip("\n").split("\t")
+    # keep the (usually huge) sample section as one unsplit string
+    fields = line.rstrip("\n").split("\t", 9)
     out = v.shared
     # CHROM
     rid = h.id2int(BCF_DT_CTG, fields[0])
@@ -873,8 +874,10 @@ def vcf_parse1(line: str, h: BcfHeader, v: Bcf1, verbose: int = 3) -> int:
     # FORMAT + samples: fast path for the dominant all-diploid single-digit
     # GT-only shape ("a|b" / "a/b" / "." cells), vectorized with numpy
     if len(fields) > 9 and fields[8] == "GT" and v.n_allele <= 10:
-        if _parse_gt_fast(fields, h, v):
+        if _parse_gt_fast(fields[9], h, v):
             return 0
+    if len(fields) > 9:
+        fields = fields[:9] + fields[9].split("\t")
     if len(fields) > 8:
         fmt_keys = fields[8].split(":")
         n_fmt = len(fmt_keys)
@@ -1010,21 +1013,21 @@ def vcf_parse1(line: str, h: BcfHeader, v: Bcf1, verbose: int = 3) -> int:
     return 0
 
 
-def _parse_gt_fast(fields: list[str], h: BcfHeader, v: Bcf1) -> bool:
+def _parse_gt_fast(joined: str, h: BcfHeader, v: Bcf1) -> bool:
     """Vectorized GT-only sample parse for uniform 3-char diploid cells.
 
-    Returns False (leaving v untouched) if the cells are not uniformly
-    "x?y" with single-char alleles, in which case the caller falls back to
-    the general parser.
+    ``joined`` is the whole tab-separated sample section.  Returns False
+    (leaving v untouched) if the cells are not uniformly "x?y" with
+    single-char alleles, in which case the caller falls back to the general
+    parser.
     """
     import numpy as np
     ii = h.dicts[BCF_DT_ID].get("GT")
     if ii is None or ii.info[BCF_HL_FMT] == 15:
         return False
-    joined = "\t".join(fields[9:])
-    n = len(fields) - 9
-    if len(joined) != 4 * n - 1:
+    if len(joined) % 4 != 3:
         return False
+    n = (len(joined) + 1) // 4
     raw = np.frombuffer((joined + "\t").encode("latin-1"), dtype=np.uint8)
     cells = raw.reshape(n, 4)
     c1, sep, c2, tabs = cells[:, 0], cells[:, 1], cells[:, 2], cells[:, 3]

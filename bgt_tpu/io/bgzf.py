@@ -46,7 +46,16 @@ def _deflate_block(payload: bytes, level: int) -> bytes:
 
 
 class BgzfWriter:
-    def __init__(self, path_or_fp, level: int = -1):
+    """BGZF writer; with ``threads > 1`` blocks compress in a worker pool
+    with ordered writeback (the zlib core releases the GIL), the Python
+    equivalent of the reference's pthread write pool (bgzf.c:381-535).
+
+    Note: ``tell()`` virtual offsets are only exact with ``threads == 1``
+    (the multithreaded path defers physical writes, like the reference's
+    mt writer which is also not seek-accurate mid-stream).
+    """
+
+    def __init__(self, path_or_fp, level: int = -1, threads: int = 1):
         if hasattr(path_or_fp, "write"):
             self._fp = path_or_fp
             self._own = False
@@ -56,6 +65,14 @@ class BgzfWriter:
         self._level = -1 if level < 0 or level > 9 else level
         self._buf = bytearray()
         self._block_address = 0  # compressed offset of the block being filled
+        self._pool = None
+        self._pending = None
+        if threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            from collections import deque
+            self._pool = ThreadPoolExecutor(max_workers=threads)
+            self._pending = deque()
+            self._max_pending = threads * 8
 
     def write(self, data) -> int:
         self._buf += data
@@ -63,9 +80,20 @@ class BgzfWriter:
             self._flush_one(BLOCK_SIZE)
         return len(data)
 
+    def _drain(self, leave: int) -> None:
+        while len(self._pending) > leave:
+            blk = self._pending.popleft().result()
+            self._fp.write(blk)
+            self._block_address += len(blk)
+
     def _flush_one(self, n: int) -> None:
         payload = bytes(self._buf[:n])
         del self._buf[:n]
+        if self._pool is not None:
+            self._pending.append(
+                self._pool.submit(_deflate_block, payload, self._level))
+            self._drain(self._max_pending)
+            return
         blk = _deflate_block(payload, self._level)
         self._fp.write(blk)
         self._block_address += len(blk)
@@ -73,6 +101,8 @@ class BgzfWriter:
     def flush(self) -> None:
         while self._buf:
             self._flush_one(min(len(self._buf), BLOCK_SIZE))
+        if self._pool is not None:
+            self._drain(0)
 
     def tell(self) -> int:
         """Virtual file offset of the current write position."""
@@ -83,6 +113,8 @@ class BgzfWriter:
             return
         self.flush()
         self._fp.write(EOF_BLOCK)
+        if self._pool is not None:
+            self._pool.shutdown()
         if self._own:
             self._fp.close()
         self._fp = None
