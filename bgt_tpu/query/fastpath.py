@@ -1,16 +1,18 @@
-"""Batched single-database query execution on the device.
+"""Batched query execution on the device (single- and multi-database).
 
-The TPU-native replacement for the reference's per-site read loop: the site
-table (positions, alleles, row numbers) is scanned once into numpy arrays,
-site selection (region/BED/paging) becomes a vectorized mask, genotype
-counting runs as masked-popcount device kernels over the packed tile store
+The TPU-native replacement for the reference's per-site read loop: each
+database's site table (positions, alleles, row numbers) is scanned once into
+columnar arrays, site selection (region/BED/paging) becomes a vectorized
+mask, the k-way multi-database merge keyed on (rid,pos,rlen,alt) is a sorted
+array merge instead of a per-record lookahead loop (reference bgt.c:797-878),
+genotype counting runs as masked-popcount device kernels over packed tiles
 in HBM (optionally sharded over a device mesh), site filters evaluate as
 compiled vector expressions over the AC/AN arrays, and VCF text assembles
 from LUT gathers.  Output bytes are identical to the general path (and the
 reference CLI); tests cross-check both.
 
-Applicability: single database, no allele-set (-a) and no -S/-H accumulators
-(those run on the general path).
+Applicability: no allele-set (-a) and no -S/-H accumulators (those run on
+the general path, which also remains the byte-exact arbiter).
 """
 
 from __future__ import annotations
@@ -68,24 +70,46 @@ class SiteTable:
         self.h0 = h0
 
 
+class MergedSites:
+    """Columnar view of the union-merged site list across databases."""
+
+    __slots__ = ("n", "rid", "pos", "rlen", "n_allele", "ref_len",
+                 "ref_str", "alt_str", "pres")
+
+    def __init__(self, n):
+        self.n = n
+
+
 _SITE_CACHE: dict = {}
 _TILE_CACHE: dict = {}
 _DEVICE_CACHE: dict = {}
 
 
+def _cache_key(bf: engine.BgtFile):
+    import os
+    path = os.path.abspath(bf.prefix + ".bcf")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0
+    return (path, mtime)
+
+
 def get_site_table(bf: engine.BgtFile) -> SiteTable:
-    st = _SITE_CACHE.get(bf.prefix)
+    key = _cache_key(bf)
+    st = _SITE_CACHE.get(key)
     if st is None:
         st = SiteTable(bf.prefix, bf.h0)
-        _SITE_CACHE[bf.prefix] = st
+        _SITE_CACHE[key] = st
     return st
 
 
 def get_tiles(bf: engine.BgtFile) -> TileStore:
-    ts = _TILE_CACHE.get(bf.prefix)
+    key = _cache_key(bf)
+    ts = _TILE_CACHE.get(key)
     if ts is None:
         ts = TileStore.open_or_build(bf.prefix)
-        _TILE_CACHE[bf.prefix] = ts
+        _TILE_CACHE[key] = ts
     return ts
 
 
@@ -101,10 +125,11 @@ class DeviceTiles:
 
 
 def get_device_tiles(bf: engine.BgtFile) -> DeviceTiles:
-    dt = _DEVICE_CACHE.get(bf.prefix)
+    key = _cache_key(bf)
+    dt = _DEVICE_CACHE.get(key)
     if dt is None:
         dt = DeviceTiles(get_tiles(bf))
-        _DEVICE_CACHE[bf.prefix] = dt
+        _DEVICE_CACHE[key] = dt
     return dt
 
 
@@ -117,25 +142,20 @@ def _bucket(n: int, cap: int) -> int:
 
 def applicable(opt, bm: engine.BgtmReader) -> bool:
     return (
-        bm.n_bgt == 1
-        and bm.h_al is None
+        bm.h_al is None
         and not bm.flag & (engine.F_CNT_AL | engine.F_CNT_HAP)
     )
 
 
-class FastView:
-    """Executes a prepared single-DB BgtmReader query batch-wise."""
+class _DbCtx:
+    """Per-database execution context within a fast query."""
 
-    def __init__(self, bm: engine.BgtmReader, opt, sharding=None):
-        self.bm = bm
-        self.opt = opt
-        self.g = bm.bgt[0]
-        self.bf = self.g.f
+    def __init__(self, g: engine.BgtReader, opt):
+        self.g = g
+        self.bf = g.f
         self.st = get_site_table(self.bf)
         self.ts = get_tiles(self.bf)
-        self.sharding = sharding  # optional parallel.mesh context
-
-    # --- site selection ----------------------------------------------------
+        self.opt = opt
 
     def select_rows(self) -> np.ndarray:
         st = self.st
@@ -158,20 +178,26 @@ class FastView:
             rows = np.array(keep, dtype=np.int64)
         return rows
 
-    # --- device counting ---------------------------------------------------
-
-    def _masks(self) -> np.ndarray:
-        bm = self.bm
+    def masks(self, n_groups: int) -> np.ndarray:
         g = self.g
-        if bm.n_groups > 1:
-            return self.ts.group_masks(np.asarray(g.group), bm.n_groups,
+        if n_groups > 1:
+            return self.ts.group_masks(np.asarray(g.group), n_groups,
                                        np.asarray(g.out))
         cols = np.empty(g.n_out * 2, dtype=np.int64)
         cols[0::2] = np.asarray(g.out) * 2
         cols[1::2] = np.asarray(g.out) * 2 + 1
         return self.ts.pack_mask(cols)[None, :]
 
-    def counts_for(self, rows: np.ndarray) -> np.ndarray:
+    def gt_cols(self, mgs: np.ndarray) -> np.ndarray:
+        """Haplotype columns for GT output (samples with mgs<=1)."""
+        samples = np.asarray(self.g.out)[mgs <= 1]
+        cols = np.empty(samples.size * 2, dtype=np.int64)
+        cols[0::2] = samples * 2
+        cols[1::2] = samples * 2 + 1
+        return cols
+
+    def counts_for(self, rows: np.ndarray, masks: np.ndarray,
+                   sharding=None) -> np.ndarray:
         """(len(rows), n_groups, 4) counts via the device kernel.
 
         The planes stay device-resident; the row range is sliced on device
@@ -179,11 +205,10 @@ class FastView:
         tensor is read back.
         """
         import jax.numpy as jnp
-        masks = self._masks()
         if rows.size == 0:
             return np.zeros((0, masks.shape[0], 4), dtype=np.int32)
-        if self.sharding is not None:
-            fn, put = self.sharding
+        if sharding is not None:
+            fn, put = sharding
             out = []
             for lo in range(0, rows.size, BATCH_ROWS):
                 sl = rows[lo: lo + BATCH_ROWS]
@@ -199,30 +224,138 @@ class FastView:
             dt.p0, dt.p1, jnp.asarray(masks), start, length)
         return np.asarray(counts)[rows - start]
 
+
+class FastView:
+    """Executes a prepared BgtmReader query batch-wise."""
+
+    def __init__(self, bm: engine.BgtmReader, opt, sharding=None):
+        self.bm = bm
+        self.opt = opt
+        self.dbs = [_DbCtx(g, opt) for g in bm.bgt]
+        self.sharding = sharding
+
+    # --- merge -------------------------------------------------------------
+
+    def _merge(self, rows_per_db: list[np.ndarray]) -> MergedSites:
+        """Union-merge site lists in bcfcmp order (key + occurrence rank)."""
+        n_bgt = len(self.dbs)
+        if n_bgt == 1:
+            st = self.dbs[0].st
+            rows = rows_per_db[0]
+            mv = MergedSites(rows.size)
+            mv.rid = st.rid[rows]
+            mv.pos = st.pos[rows]
+            mv.rlen = st.rlen[rows]
+            mv.n_allele = st.n_allele[rows]
+            mv.ref_len = st.ref_len[rows]
+            mv.ref_str = [st.ref_str[r] for r in rows.tolist()]
+            mv.alt_str = [st.alt_str[r] for r in rows.tolist()]
+            mv.pres = rows[:, None]
+            return mv
+        # extended key = (rid, pos, rlen, alt, occurrence#-within-db):
+        # duplicate keys inside one DB pair up occurrence-wise across DBs,
+        # exactly like the lookahead merge consumes them one at a time
+        merged: dict = {}
+        for d, ctx in enumerate(self.dbs):
+            st = ctx.st
+            occ: dict = {}
+            rid_l = st.rid.tolist()
+            pos_l = st.pos.tolist()
+            rlen_l = st.rlen.tolist()
+            for r in rows_per_db[d].tolist():
+                key = (rid_l[r], pos_l[r], rlen_l[r], st.alts[r])
+                k = occ.get(key, 0)
+                occ[key] = k + 1
+                ext = key + (k,)
+                slot = merged.get(ext)
+                if slot is None:
+                    merged[ext] = slot = [-1] * n_bgt
+                slot[d] = r
+        order = sorted(merged)
+        n = len(order)
+        mv = MergedSites(n)
+        mv.pres = np.full((n, n_bgt), -1, dtype=np.int64)
+        rid = np.empty(n, dtype=np.int32)
+        pos = np.empty(n, dtype=np.int64)
+        rlen = np.empty(n, dtype=np.int64)
+        nal = np.empty(n, dtype=np.int32)
+        ref_len = np.empty(n, dtype=np.int64)
+        ref_str = []
+        alt_raw = []
+        for i, ext in enumerate(order):
+            slot = merged[ext]
+            mv.pres[i] = slot
+            rid[i], pos[i], rlen[i] = ext[0], ext[1], ext[2]
+            first = next(d for d in range(n_bgt) if slot[d] >= 0)
+            st = self.dbs[first].st
+            r = slot[first]
+            ref_len[i] = st.ref_len[r]
+            ref_str.append(st.ref_str[r])
+            alt_raw.append(ext[3])
+            # reference takes max n_allele across EQUAL records (bgt.c:811-819)
+            na = 0
+            for d in range(n_bgt):
+                if slot[d] >= 0:
+                    na = max(na, int(self.dbs[d].st.n_allele[slot[d]]))
+            nal[i] = na
+        mv.rid, mv.pos, mv.rlen, mv.n_allele, mv.ref_len = rid, pos, rlen, nal, ref_len
+        mv.ref_str = ref_str
+        mv.alt_str = [
+            alt_raw[i].decode("latin-1") + (",<M>" if nal[i] > 2 else "")
+            for i in range(n)
+        ]
+        return mv
+
     # --- the full run ------------------------------------------------------
 
     def run(self, out) -> None:
         bm = self.bm
-        st = self.st
         opt = self.opt
-        if self.g.n_out == 0:
+        if all(ctx.g.n_out == 0 for ctx in self.dbs):
             return
-        rows = self.select_rows()
-        counts = self.counts_for(rows)
-        bm.n_gt_read += int(rows.size) * self.g.n_out
+        rows_per_db = [
+            ctx.select_rows() if ctx.g.n_out > 0 else np.zeros(0, np.int64)
+            for ctx in self.dbs
+        ]
+        mv = self._merge(rows_per_db)
+        n_groups = bm.n_groups
+
+        # per-DB device counts, then merge with missing-fill (code 2)
+        counts = np.zeros((mv.n, n_groups, 4), dtype=np.int64)
+        for d, ctx in enumerate(self.dbs):
+            if ctx.g.n_out == 0:
+                continue
+            masks = ctx.masks(n_groups)
+            rows_d = rows_per_db[d]
+            cd = ctx.counts_for(rows_d, masks, self.sharding)
+            bm.n_gt_read += int(rows_d.size) * ctx.g.n_out
+            pres = mv.pres[:, d]
+            if len(self.dbs) == 1:
+                counts += cd
+            else:
+                # map merged rows to positions within rows_d
+                have = pres >= 0
+                idx = np.searchsorted(rows_d, pres[have])
+                counts[have] += cd[idx]
+                # absent rows: every column of this DB reads as missing
+                # (a0=0, a1=1 -> code 2 fill, bgt.c:838-839)
+                miss = np.zeros((n_groups, 4), dtype=np.int64)
+                for gi in range(n_groups):
+                    miss[gi, 2] = int(np.unpackbits(
+                        masks[gi].view(np.uint8)).sum())
+                counts[~have] += miss[None, :, :]
 
         tot = counts.sum(axis=1)
         an = tot[:, 0] + tot[:, 1] + tot[:, 3]
         ac = tot[:, 1]
         ac_m = tot[:, 3]
-        n_groups = bm.n_groups
         if n_groups > 1:
             gan = counts[:, :, 0] + counts[:, :, 1] + counts[:, :, 3]
             gac = counts[:, :, 1]
             gac_m = counts[:, :, 3]
 
         # site filter over the whole batch
-        pass_mask = np.ones(rows.size, dtype=bool)
+        pass_mask = np.ones(mv.n, dtype=bool)
         if bm.site_flt is not None:
             env = {"AC": ac.astype(np.int64), "AN": an.astype(np.int64)}
             for gi in range(n_groups):
@@ -230,13 +363,13 @@ class FastView:
                 env[f"AC{gi + 1}"] = (gac[:, gi] if n_groups > 1 else ac).astype(np.int64)
             try:
                 fn = bm.site_flt.compile_vector(np)
-                missing = bm.site_flt.var_names - set(env)
-                if missing:
-                    raise TypeError(f"unknown vars {missing}")
+                missing_vars = bm.site_flt.var_names - set(env)
+                if missing_vars:
+                    raise TypeError(f"unknown vars {missing_vars}")
                 _t, vec = fn(env)
                 pass_mask = np.asarray(vec) != 0
             except (TypeError, KeyError):
-                for i in range(rows.size):
+                for i in range(mv.n):
                     ss = self._site_info(i, counts)
                     pass_mask[i] = bm.pass_site_flt(ss)
 
@@ -244,41 +377,55 @@ class FastView:
             or bool(bm.fields) or n_groups > 1
         no_gt = bool(bm.flag & engine.F_NO_GT)
 
-        # GT columns: output samples with mgs<=1, 2 columns each
-        if not no_gt:
-            keep = np.asarray(bm.mgs) <= 1
-            samples = np.asarray(self.g.out)[keep]
-            cols = np.empty(samples.size * 2, dtype=np.int64)
-            cols[0::2] = samples * 2
-            cols[1::2] = samples * 2 + 1
-
         n_rec = opt.n_rec if opt.n_rec is not None else None
-        h_out = bm.h_out
-        ctg_names = [n for n, _ in h_out.ids[bcflib.BCF_DT_CTG]]
+        ctg_names = [n for n, _ in bm.h_out.ids[bcflib.BCF_DT_CTG]]
 
-        # final site selection (filter + record budget)
         sel = np.nonzero(pass_mask)[0]
         if n_rec is not None and sel.size > n_rec:
             sel = sel[:n_rec]
         if sel.size == 0:
             return
-        sel_rows = rows[sel]
 
         if bm.fields:  # -t table mode: exact scalar field evaluation
-            gen = self._compile_fields(an, ac, counts)
+            gen = self._compile_fields(counts, mv)
             write = out.write
-            for i, r in zip(sel.tolist(), sel_rows.tolist()):
-                write(gen(i, int(r)) + "\n")
+            for i in sel.tolist():
+                write(gen(i) + "\n")
             return
 
-        self._emit_vcf_lines(out, sel, sel_rows, an, ac, ac_m,
+        gt_codes_fn = None
+        if not no_gt:
+            mgs_off = 0
+            per_db_cols = []
+            for ctx in self.dbs:
+                m = ctx.g.n_out
+                per_db_cols.append(ctx.gt_cols(np.asarray(bm.mgs[mgs_off: mgs_off + m])))
+                mgs_off += m
+
+            def gt_codes_fn(msel: np.ndarray) -> np.ndarray:
+                blocks = []
+                for d, ctx in enumerate(self.dbs):
+                    cols = per_db_cols[d]
+                    if cols.size == 0:
+                        continue
+                    pres = mv.pres[msel, d]
+                    have = pres >= 0
+                    block = np.full((msel.size, cols.size), 2, dtype=np.uint8)
+                    if have.any():
+                        block[have] = ctx.ts.codes(pres[have], cols)
+                    blocks.append(block)
+                if not blocks:
+                    return np.zeros((msel.size, 0), dtype=np.uint8)
+                return np.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
+
+        self._emit_vcf_lines(out, sel, mv, an, ac, ac_m,
                              gan if n_groups > 1 else None,
                              gac if n_groups > 1 else None,
                              gac_m if n_groups > 1 else None,
-                             info_on, no_gt, None if no_gt else cols, ctg_names)
+                             info_on, gt_codes_fn, ctg_names)
 
-    def _emit_vcf_lines(self, out, sel, sel_rows, an, ac, ac_m, gan, gac, gac_m,
-                        info_on, no_gt, cols, ctg_names) -> None:
+    def _emit_vcf_lines(self, out, sel, mv: MergedSites, an, ac, ac_m,
+                        gan, gac, gac_m, info_on, gt_codes_fn, ctg_names) -> None:
         """Assemble and write all passing site lines.
 
         The dominant regular shape (biallelic, no END) is a tight f-string
@@ -287,17 +434,16 @@ class FastView:
         LUT gather for the whole batch, decoded to one big string sliced
         per row.
         """
-        st = self.st
         n_groups = self.bm.n_groups
         from .view import _CELL_LUT
 
-        irregular = (st.n_allele[sel_rows] > 2) | (st.ref_len[sel_rows] != st.rlen[sel_rows])
-        pos1 = (st.pos[sel_rows] + 1).tolist()
-        rid_l = st.rid[sel_rows].tolist()
-        rows_l = sel_rows.tolist()
+        irregular = (mv.n_allele[sel] > 2) | (mv.ref_len[sel] != mv.rlen[sel])
+        pos1 = (mv.pos[sel] + 1).tolist()
+        rid_l = mv.rid[sel].tolist()
+        sel_l = sel.tolist()
         irr_l = irregular.tolist()
-        ref_str = st.ref_str
-        alt_str = st.alt_str
+        ref_str = mv.ref_str
+        alt_str = mv.alt_str
 
         if info_on:
             an_l = an[sel].tolist()
@@ -311,40 +457,43 @@ class FastView:
 
         # GT cells for the whole selection in one gather
         gt_strs = None
-        if cols is not None and cols.size:
+        if gt_codes_fn is not None:
             blocks = []
-            for lo in range(0, sel_rows.size, BATCH_ROWS):
-                codes = self.ts.codes(sel_rows[lo: lo + BATCH_ROWS], cols)
+            for lo in range(0, sel.size, BATCH_ROWS):
+                codes = gt_codes_fn(sel[lo: lo + BATCH_ROWS])
+                if codes.shape[1] == 0:
+                    gt_codes_fn = None
+                    break
                 idx = codes[:, 0::2].astype(np.int64) * 4 + codes[:, 1::2]
                 blocks.append(_CELL_LUT[idx])
-            cells = np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
-            big = cells.tobytes().decode("latin-1")
-            w = 4 * cells.shape[1]
-            gt_strs = (big, w)
+            if gt_codes_fn is not None:
+                cells = np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+                big = cells.tobytes().decode("latin-1")
+                w = 4 * cells.shape[1]
+                gt_strs = (big, w)
 
         parts: list[str] = []
         ap = parts.append
-        for k in range(len(rows_l)):
+        for k in range(len(sel_l)):
             chrom = ctg_names[rid_l[k]]
-            r = rows_l[k]
+            i = sel_l[k]
             if not irr_l[k]:
                 if info_on:
                     if n_groups > 1:
-                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}"
+                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}"
                                 f"\t0\t.\tAN={an_l[k]};AC={ac_l[k]}"
                                 + gtempl.format(*(gv[k] for gv in gvals)))
                     else:
-                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}"
+                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}"
                                 f"\t0\t.\tAN={an_l[k]};AC={ac_l[k]}")
                 else:
-                    line = f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}\t0\t.\t."
+                    line = f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}\t0\t.\t."
             else:
                 infos = []
-                if st.ref_len[r] != st.rlen[r]:
-                    infos.append(f"END={int(st.pos[r] + st.rlen[r])}")
-                multi = st.n_allele[r] > 2
+                if mv.ref_len[i] != mv.rlen[i]:
+                    infos.append(f"END={int(mv.pos[i] + mv.rlen[i])}")
+                multi = mv.n_allele[i] > 2
                 if info_on:
-                    i = sel[k]
                     infos.append(f"AN={int(an[i])}")
                     infos.append(f"AC={int(ac[i])},{int(ac_m[i])}" if multi
                                  else f"AC={int(ac[i])}")
@@ -354,7 +503,7 @@ class FastView:
                             infos.append(
                                 f"AC{gi + 1}={int(gac[i, gi])},{int(gac_m[i, gi])}"
                                 if multi else f"AC{gi + 1}={int(gac[i, gi])}")
-                line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[r]}\t{alt_str[r]}\t0\t.\t"
+                line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}\t0\t.\t"
                         + (";".join(infos) if infos else "."))
             if gt_strs is not None:
                 big, w = gt_strs
@@ -376,22 +525,22 @@ class FastView:
                       for g in range(ss.n_groups)]
         return ss
 
-    def _compile_fields(self, an, ac, counts):
+    def _compile_fields(self, counts, mv: MergedSites):
         """Per-site table-line generator using scalar kexpr eval (exact)."""
         bm = self.bm
-        st = self.st
         ctg_names = [n for n, _ in bm.h_out.ids[bcflib.BCF_DT_CTG]]
 
-        def gen(i: int, r: int) -> str:
+        def gen(i: int) -> str:
             ss = self._site_info(i, counts)
             parts = []
+            alt1 = mv.alt_str[i].split(",", 1)[0]
             for ke in bm.fields:
                 bm._assign_expr(ke, ss)
-                ke.set_str("CHROM", ctg_names[int(st.rid[r])])
-                ke.set_int("POS", int(st.pos[r]) + 1)
-                ke.set_int("END", int(st.pos[r] + st.rlen[r]))
-                ke.set_str("REF", st.refs[r].decode("latin-1"))
-                ke.set_str("ALT", st.alts[r].decode("latin-1"))
+                ke.set_str("CHROM", ctg_names[int(mv.rid[i])])
+                ke.set_int("POS", int(mv.pos[i]) + 1)
+                ke.set_int("END", int(mv.pos[i] + mv.rlen[i]))
+                ke.set_str("REF", mv.ref_str[i])
+                ke.set_str("ALT", alt1)
                 err, iv, rv, sv, t = ke.eval()
                 if err:
                     parts.append("*")

@@ -158,3 +158,75 @@ def test_cross_reading(db, ref_bgt):
     # and we must query THEIR database
     ours = run_ours(["-C"], db, dbname="refdb")
     assert ours == ref_on_ref.stdout.decode()
+
+
+def test_multi_db_groups_and_filters(tmp_path, ref_bgt):
+    """Groups spanning DBs, filters, table output through the merged fastpath."""
+    v1 = testing.random_vcf(n_samples=7, n_sites=100, seed=41, sample_prefix="A")
+    v2 = testing.random_vcf(n_samples=5, n_sites=90, seed=42, sample_prefix="B")
+    (tmp_path / "a.vcf").write_text(v1)
+    (tmp_path / "b.vcf").write_text(v2)
+    spl_a = testing.random_spl(7, seed=41, sample_prefix="A")
+    spl_b = testing.random_spl(5, seed=42, sample_prefix="B")
+    for name, vcf, spl in (("a", "a.vcf", spl_a), ("b", "b.vcf", spl_b)):
+        res = subprocess.run([ref_bgt, "import", "-S", f"ref{name}", vcf],
+                             cwd=tmp_path, capture_output=True)
+        assert res.returncode == 0, res.stderr.decode()
+        importer.import_vcf(str(tmp_path / f"our{name}"),
+                            [str(tmp_path / f"{name}.vcf")], is_vcf=True)
+        (tmp_path / f"ref{name}.spl").write_text(spl)
+        (tmp_path / f"our{name}.spl").write_text(spl)
+    cases = [
+        ["-G", "-f", "AC>1"],
+        ["-s", 'gender=="M"', "-s", 'gender=="F"', "-G"],
+        ["-s", ",A0001,B0002,B0004", "-C"],
+        ["-t", "CHROM,POS,REF,ALT,AC,AN"],
+        ["-i", "5", "-n", "20", "-C"],
+    ]
+    for args in cases:
+        ref = subprocess.run([ref_bgt, "view"] + args + ["refa", "refb"],
+                             cwd=tmp_path, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        buf = io.StringIO()
+        import os
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            ret = main_view(args + ["oura", "ourb"], out=buf)
+        finally:
+            os.chdir(old)
+        assert ret == 0
+        assert buf.getvalue() == ref.stdout.decode(), f"args {args}"
+
+
+def test_multi_db_duplicate_sites(tmp_path, ref_bgt):
+    """The same VCF imported twice: duplicate keys pair occurrence-wise."""
+    v = testing.random_vcf(n_samples=4, n_sites=40, seed=43)
+    (tmp_path / "in.vcf").write_text(v)
+    # concatenating the file with itself creates duplicate atoms per DB
+    doubled_body = []
+    header_lines = []
+    for line in v.splitlines():
+        (header_lines if line.startswith("#") else doubled_body).append(line)
+    dup = "\n".join(header_lines + [l for l in doubled_body for _ in (0, 1)]) + "\n"
+    (tmp_path / "dup.vcf").write_text(dup)
+    for name, src in (("x", "in.vcf"), ("y", "dup.vcf")):
+        res = subprocess.run([ref_bgt, "import", "-S", f"ref{name}", src],
+                             cwd=tmp_path, capture_output=True)
+        assert res.returncode == 0, res.stderr.decode()
+        importer.import_vcf(str(tmp_path / f"our{name}"),
+                            [str(tmp_path / src)], is_vcf=True)
+    for args in ([], ["-C"], ["-G", "-C"]):
+        ref = subprocess.run([ref_bgt, "view"] + args + ["refx", "refy"],
+                             cwd=tmp_path, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        buf = io.StringIO()
+        import os
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            ret = main_view(args + ["ourx", "oury"], out=buf)
+        finally:
+            os.chdir(old)
+        assert ret == 0
+        assert buf.getvalue() == ref.stdout.decode(), f"args {args}"
