@@ -64,6 +64,33 @@ def sharded_count_fn(mesh: Mesh):
     return jax.jit(_counts)
 
 
+def sharded_count_range_fn(mesh: Mesh):
+    """(p0, p1, masks, start, length) over device-resident sharded planes:
+    row-slice locally, masked popcounts, psum over the sample axis.
+    Compiled once per distinct (bucketed) length."""
+    cache: dict = {}
+
+    def call(p0, p1, masks, start: int, length: int):
+        fn = cache.get(length)
+        if fn is None:
+            def _counts(p0, p1, masks, start):
+                s0 = jax.lax.dynamic_slice_in_dim(p0, start, length, axis=0)
+                s1 = jax.lax.dynamic_slice_in_dim(p1, start, length, axis=0)
+                local = counts_ops.count_codes(s0, s1, masks)
+                return jax.lax.psum(local, SAMPLE_AXIS)
+
+            fn = jax.jit(shard_map(
+                _counts, mesh=mesh,
+                in_specs=(P(None, SAMPLE_AXIS), P(None, SAMPLE_AXIS),
+                          P(None, SAMPLE_AXIS), P()),
+                out_specs=P(None), check_vma=False,
+            ))
+            cache[length] = fn
+        return fn(p0, p1, masks, jnp.int32(start))
+
+    return call
+
+
 def sharded_gather_codes_fn(mesh: Mesh):
     """jitted (p0, p1) -> (rows, words*32) uint8 codes, all-gathered."""
 

@@ -140,6 +140,75 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+class ShardContext:
+    """Multi-device execution: planes sharded over the sample-column axis.
+
+    Built once per process when more than one device is visible (set
+    BGT_TPU_SHARD=0 to force single-device execution).  Per database the
+    padded planes are placed across the mesh once; each query ships only its
+    small mask tensor and reads back the count tensor (psum-merged).
+    """
+
+    def __init__(self):
+        from ..parallel import mesh as meshlib
+        self.meshlib = meshlib
+        self.mesh = meshlib.make_mesh()
+        self.n_dev = self.mesh.devices.size
+        self.count_range = meshlib.sharded_count_range_fn(self.mesh)
+        self._planes: dict = {}
+
+    def planes(self, ctx: "_DbCtx"):
+        """(p0_sharded, p1_sharded, padded_words, n_rows) for a database."""
+        key = _cache_key(ctx.bf)
+        hit = self._planes.get(key)
+        if hit is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ts = ctx.ts
+            words = self.meshlib.pad_words_for_mesh(ts.n_words, self.n_dev)
+            pad = words - ts.n_words
+            p0, p1 = ts.plane0, ts.plane1
+            if pad:
+                p0 = np.pad(p0, ((0, 0), (0, pad)))
+                p1 = np.pad(p1, ((0, 0), (0, pad)))
+            sh = NamedSharding(self.mesh, P(None, self.meshlib.SAMPLE_AXIS))
+            hit = (jax.device_put(p0, sh), jax.device_put(p1, sh), words,
+                   ts.n_rows)
+            self._planes[key] = hit
+        return hit
+
+    def put_masks(self, masks: np.ndarray, words: int):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pad = words - masks.shape[1]
+        if pad:
+            masks = np.pad(masks, ((0, 0), (0, pad)))
+        sh = NamedSharding(self.mesh, P(None, self.meshlib.SAMPLE_AXIS))
+        return jax.device_put(masks, sh)
+
+
+_shard_ctx: list = [None, False]  # [context, initialized]
+
+
+def get_shard_context() -> ShardContext | None:
+    import os
+    if _shard_ctx[1]:
+        return _shard_ctx[0]
+    _shard_ctx[1] = True
+    if os.environ.get("BGT_TPU_SHARD", "") == "0":
+        return None
+    import jax
+    if len(jax.devices()) < 2:
+        return None
+    _shard_ctx[0] = ShardContext()
+    return _shard_ctx[0]
+
+
+def reset_shard_context() -> None:
+    _shard_ctx[0] = None
+    _shard_ctx[1] = False
+
+
 def applicable(opt, bm: engine.BgtmReader) -> bool:
     return (
         bm.h_al is None
@@ -197,27 +266,27 @@ class _DbCtx:
         return cols
 
     def counts_for(self, rows: np.ndarray, masks: np.ndarray,
-                   sharding=None) -> np.ndarray:
+                   sharding: ShardContext | None = None) -> np.ndarray:
         """(len(rows), n_groups, 4) counts via the device kernel.
 
-        The planes stay device-resident; the row range is sliced on device
-        (bucketed static lengths limit recompiles) and only the tiny count
-        tensor is read back.
+        The planes stay device-resident (sharded over the sample axis when a
+        mesh is active); the row range is sliced on device (bucketed static
+        lengths limit recompiles) and only the tiny count tensor is read
+        back.
         """
         import jax.numpy as jnp
         if rows.size == 0:
             return np.zeros((0, masks.shape[0], 4), dtype=np.int32)
-        if sharding is not None:
-            fn, put = sharding
-            out = []
-            for lo in range(0, rows.size, BATCH_ROWS):
-                sl = rows[lo: lo + BATCH_ROWS]
-                p0, p1, msk = put(self.ts.plane0[sl], self.ts.plane1[sl], masks)
-                out.append(np.asarray(fn(p0, p1, msk)))
-            return np.concatenate(out, axis=0)
-        dt = get_device_tiles(self.bf)
         start = int(rows[0])
         span = int(rows[-1]) + 1 - start
+        if sharding is not None:
+            p0, p1, words, n_rows = sharding.planes(self)
+            msk = sharding.put_masks(masks, words)
+            length = _bucket(span, n_rows)
+            start = min(start, n_rows - length)
+            counts = sharding.count_range(p0, p1, msk, start, length)
+            return np.asarray(counts)[rows - start]
+        dt = get_device_tiles(self.bf)
         length = _bucket(span, dt.n_rows)
         start = min(start, dt.n_rows - length)
         counts = counts_ops.count_codes_range(
@@ -232,7 +301,7 @@ class FastView:
         self.bm = bm
         self.opt = opt
         self.dbs = [_DbCtx(g, opt) for g in bm.bgt]
-        self.sharding = sharding
+        self.sharding = sharding if sharding is not None else get_shard_context()
 
     # --- merge -------------------------------------------------------------
 

@@ -102,3 +102,38 @@ def test_sharded_gather_codes(data):
     fn = meshlib.sharded_gather_codes_fn(mesh)
     got = np.asarray(fn(p0, p1))[:, : ts.m]
     assert np.array_equal(got, codes)
+
+
+def test_view_sharded_vs_unsharded(tmp_path, ref_bgt, monkeypatch):
+    """The whole view CLI must emit identical bytes on an 8-device mesh."""
+    import io
+    import os
+    import subprocess
+    from bgt_tpu import testing
+    from bgt_tpu.query import importer, fastpath
+    from bgt_tpu.query.view import main_view
+    vcf = testing.random_vcf(n_samples=16, n_sites=150, seed=55)
+    (tmp_path / "in.vcf").write_text(vcf)
+    importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    ref = subprocess.run([ref_bgt, "view", "-C", "db"], cwd=tmp_path,
+                         capture_output=True, check=True).stdout.decode()
+
+    def run(shard_env):
+        monkeypatch.setenv("BGT_TPU_SHARD", shard_env)
+        fastpath.reset_shard_context()
+        buf = io.StringIO()
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            assert main_view(["-C", "db"], out=buf) == 0
+        finally:
+            os.chdir(old)
+            fastpath.reset_shard_context()
+            monkeypatch.delenv("BGT_TPU_SHARD")
+        return buf.getvalue()
+
+    sharded = run("1")
+    unsharded = run("0")
+    assert sharded == ref
+    assert unsharded == ref
