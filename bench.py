@@ -25,7 +25,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 N_SAMPLES = 2504
-N_SITES = 20000
+N_SITES = 100000
 SEED = 1337
 BENCH_DIR = REPO / "build" / "bench"
 QUERY = ["-G", "-C"]

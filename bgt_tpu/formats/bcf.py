@@ -178,10 +178,12 @@ def dec_size(buf, off: int):
 # Header
 # ---------------------------------------------------------------------------
 
-@dataclass
 class IdInfo:
-    info: list = field(default_factory=lambda: [15, 15, 15])
-    id: int = -1
+    __slots__ = ("info", "id")
+
+    def __init__(self, info=None, id=-1):
+        self.info = info if info is not None else [15, 15, 15]
+        self.id = id
 
 
 class BcfHeader:
@@ -332,11 +334,10 @@ class BcfHeader:
         else:
             # sample line: fields after the 9th column are sample names
             d = self.dicts[BCF_DT_SAMPLE]
-            for i, fldval in enumerate(line.split("\t")):
-                if i >= 9 and fldval not in d:
-                    ii = IdInfo()
-                    ii.id = len(d)
-                    d[fldval] = ii
+            shared_info = [15, 15, 15]  # sample entries never mutate info
+            for fldval in line.split("\t")[9:]:
+                if fldval not in d:
+                    d[fldval] = IdInfo(shared_info, len(d))
         return 0
 
     def _sync(self) -> None:

@@ -47,8 +47,80 @@ def get_lib():
     lib.bgt_gtc_from_pbf.restype = ctypes.c_int64
     lib.bgt_gtc_from_pbf.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                      ctypes.c_int32]
+    lib.bgt_emit_vcf_lines.restype = ctypes.c_int64
+    lib.bgt_emit_vcf_lines.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,  # chrom
+        ctypes.c_void_p,                                    # pos1
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,  # ref
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,  # alt
+        ctypes.c_void_p, ctypes.c_void_p,                   # n_allele, end
+        ctypes.c_int32, ctypes.c_int32,                     # info_on, groups
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # an, ac, ac_m
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # gan, gac, gac_m
+        ctypes.c_char_p, ctypes.c_int64,                    # gt cells
+        ctypes.c_char_p, ctypes.c_int64,                    # out buf
+    ]
     _lib = lib
     return _lib
+
+
+def emit_vcf_lines(chrom_cat, chrom_off, chrom_len, pos1,
+                   ref_cat, ref_off, ref_len, alt_cat, alt_off, alt_len,
+                   n_allele, end_val, info_on, n_groups,
+                   an, ac, ac_m, gan, gac, gac_m, cells) -> bytes:
+    """Native VCF line assembly; returns the concatenated line bytes."""
+    import numpy as np
+    lib = get_lib()
+    n = len(pos1)
+
+    def p64(a):
+        return np.ascontiguousarray(a, dtype=np.int64).ctypes.data_as(ctypes.c_void_p)
+
+    def p32(a):
+        return np.ascontiguousarray(a, dtype=np.int32).ctypes.data_as(ctypes.c_void_p)
+
+    # hold contiguous arrays alive for the call
+    arrs = [np.ascontiguousarray(a, dtype=np.int64) for a in
+            (chrom_off, pos1, ref_off, alt_off, end_val, an, ac, ac_m)]
+    arrs32 = [np.ascontiguousarray(a, dtype=np.int32) for a in
+              (chrom_len, ref_len, alt_len, n_allele)]
+    gptr = [None, None, None]
+    if gan is not None:
+        for j, g in enumerate((gan, gac, gac_m)):
+            ga = np.ascontiguousarray(g, dtype=np.int64)
+            arrs.append(ga)
+            gptr[j] = ga.ctypes.data_as(ctypes.c_void_p)
+    gt_bytes = None
+    gt_width = 0
+    if cells is not None:
+        gt_bytes = np.ascontiguousarray(cells).tobytes()
+        gt_width = 4 * cells.shape[1]
+    cap = int(arrs32[0].sum() + arrs32[1].sum() + arrs32[2].sum()
+              + n * (80 + (n_groups + 1) * 96 + gt_width + 8) + 1024)
+    buf = np.empty(cap, dtype=np.uint8)
+    ret = lib.bgt_emit_vcf_lines(
+        n,
+        chrom_cat, arrs[0].ctypes.data_as(ctypes.c_void_p),
+        arrs32[0].ctypes.data_as(ctypes.c_void_p),
+        arrs[1].ctypes.data_as(ctypes.c_void_p),
+        ref_cat, arrs[2].ctypes.data_as(ctypes.c_void_p),
+        arrs32[1].ctypes.data_as(ctypes.c_void_p),
+        alt_cat, arrs[3].ctypes.data_as(ctypes.c_void_p),
+        arrs32[2].ctypes.data_as(ctypes.c_void_p),
+        arrs32[3].ctypes.data_as(ctypes.c_void_p),
+        arrs[4].ctypes.data_as(ctypes.c_void_p),
+        info_on, n_groups,
+        arrs[5].ctypes.data_as(ctypes.c_void_p),
+        arrs[6].ctypes.data_as(ctypes.c_void_p),
+        arrs[7].ctypes.data_as(ctypes.c_void_p),
+        gptr[0], gptr[1], gptr[2],
+        gt_bytes, gt_width,
+        buf.ctypes.data_as(ctypes.c_char_p), cap,
+    )
+    if ret < 0:
+        raise OSError("emit buffer overflow")
+    return buf[:ret].tobytes()
 
 
 class NativePbfWriter:

@@ -61,23 +61,39 @@ class SiteTable:
         self.ref_len = np.array(ref_lens, dtype=np.int64)
         self.refs = refs
         self.alts = alts
-        # pre-decoded display strings (ALT includes ",<M>" for 3-allele sites)
-        self.ref_str = [r.decode("latin-1") for r in refs]
-        self.alt_str = [
-            a.decode("latin-1") + (",<M>" if nal[i] > 2 else "")
-            for i, a in enumerate(alts)
-        ]
+        # concatenated allele buffers + per-site offsets (for native emission)
+        self.ref_cat = b"".join(refs)
+        self.ref_off = np.zeros(self.n, dtype=np.int64)
+        np.cumsum(self.ref_len[:-1], out=self.ref_off[1:])
+        self.alt_len = np.array([len(a) for a in alts], dtype=np.int64)
+        self.alt_cat = b"".join(alts)
+        self.alt_off = np.zeros(self.n, dtype=np.int64)
+        np.cumsum(self.alt_len[:-1], out=self.alt_off[1:])
         self.h0 = h0
+
+    def ref_s(self, r: int) -> str:
+        return self.refs[r].decode("latin-1")
+
+    def alt_s(self, r: int) -> str:
+        return self.alts[r].decode("latin-1")
 
 
 class MergedSites:
     """Columnar view of the union-merged site list across databases."""
 
     __slots__ = ("n", "rid", "pos", "rlen", "n_allele", "ref_len",
-                 "ref_str", "alt_str", "pres")
+                 "ref_cat", "ref_off", "alt_cat", "alt_off", "alt_len", "pres")
 
     def __init__(self, n):
         self.n = n
+
+    def ref_s(self, i: int) -> str:
+        o = int(self.ref_off[i])
+        return self.ref_cat[o: o + int(self.ref_len[i])].decode("latin-1")
+
+    def alt_s(self, i: int) -> str:
+        o = int(self.alt_off[i])
+        return self.alt_cat[o: o + int(self.alt_len[i])].decode("latin-1")
 
 
 _SITE_CACHE: dict = {}
@@ -317,8 +333,11 @@ class FastView:
             mv.rlen = st.rlen[rows]
             mv.n_allele = st.n_allele[rows]
             mv.ref_len = st.ref_len[rows]
-            mv.ref_str = [st.ref_str[r] for r in rows.tolist()]
-            mv.alt_str = [st.alt_str[r] for r in rows.tolist()]
+            mv.ref_cat = st.ref_cat
+            mv.ref_off = st.ref_off[rows]
+            mv.alt_cat = st.alt_cat
+            mv.alt_off = st.alt_off[rows]
+            mv.alt_len = st.alt_len[rows]
             mv.pres = rows[:, None]
             return mv
         # extended key = (rid, pos, rlen, alt, occurrence#-within-db):
@@ -349,8 +368,12 @@ class FastView:
         rlen = np.empty(n, dtype=np.int64)
         nal = np.empty(n, dtype=np.int32)
         ref_len = np.empty(n, dtype=np.int64)
-        ref_str = []
-        alt_raw = []
+        ref_off = np.empty(n, dtype=np.int64)
+        alt_off = np.empty(n, dtype=np.int64)
+        alt_len = np.empty(n, dtype=np.int64)
+        refs = []
+        alts = []
+        r_off = a_off = 0
         for i, ext in enumerate(order):
             slot = merged[ext]
             mv.pres[i] = slot
@@ -359,8 +382,13 @@ class FastView:
             st = self.dbs[first].st
             r = slot[first]
             ref_len[i] = st.ref_len[r]
-            ref_str.append(st.ref_str[r])
-            alt_raw.append(ext[3])
+            refs.append(st.refs[r])
+            ref_off[i] = r_off
+            r_off += len(st.refs[r])
+            alts.append(ext[3])
+            alt_off[i] = a_off
+            alt_len[i] = len(ext[3])
+            a_off += alt_len[i]
             # reference takes max n_allele across EQUAL records (bgt.c:811-819)
             na = 0
             for d in range(n_bgt):
@@ -368,11 +396,11 @@ class FastView:
                     na = max(na, int(self.dbs[d].st.n_allele[slot[d]]))
             nal[i] = na
         mv.rid, mv.pos, mv.rlen, mv.n_allele, mv.ref_len = rid, pos, rlen, nal, ref_len
-        mv.ref_str = ref_str
-        mv.alt_str = [
-            alt_raw[i].decode("latin-1") + (",<M>" if nal[i] > 2 else "")
-            for i in range(n)
-        ]
+        mv.ref_cat = b"".join(refs)
+        mv.ref_off = ref_off
+        mv.alt_cat = b"".join(alts)
+        mv.alt_off = alt_off
+        mv.alt_len = alt_len
         return mv
 
     # --- the full run ------------------------------------------------------
@@ -497,35 +525,15 @@ class FastView:
                         gan, gac, gac_m, info_on, gt_codes_fn, ctg_names) -> None:
         """Assemble and write all passing site lines.
 
-        The dominant regular shape (biallelic, no END) is a tight f-string
-        loop over pre-stringified columns; irregular sites (<M> allele or
-        END-carrying indels) take a generic branch.  GT cells come from one
-        LUT gather for the whole batch, decoded to one big string sliced
-        per row.
+        Native path: one C call assembles every line (itoa + memcpy) from the
+        columnar arrays; GT cells come from one LUT gather for the whole
+        batch.  A Python fallback covers the no-native case.
         """
         n_groups = self.bm.n_groups
         from .view import _CELL_LUT
 
-        irregular = (mv.n_allele[sel] > 2) | (mv.ref_len[sel] != mv.rlen[sel])
-        pos1 = (mv.pos[sel] + 1).tolist()
-        rid_l = mv.rid[sel].tolist()
-        sel_l = sel.tolist()
-        irr_l = irregular.tolist()
-        ref_str = mv.ref_str
-        alt_str = mv.alt_str
-
-        if info_on:
-            an_l = an[sel].tolist()
-            ac_l = ac[sel].tolist()
-            if n_groups > 1:
-                gvals = [gan[sel, gi // 2].tolist() if gi % 2 == 0
-                         else gac[sel, gi // 2].tolist()
-                         for gi in range(2 * n_groups)]
-                gtempl = "".join(
-                    f";AN{g + 1}={{}};AC{g + 1}={{}}" for g in range(n_groups))
-
         # GT cells for the whole selection in one gather
-        gt_strs = None
+        cells = None
         if gt_codes_fn is not None:
             blocks = []
             for lo in range(0, sel.size, BATCH_ROWS):
@@ -537,43 +545,74 @@ class FastView:
                 blocks.append(_CELL_LUT[idx])
             if gt_codes_fn is not None:
                 cells = np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
-                big = cells.tobytes().decode("latin-1")
-                w = 4 * cells.shape[1]
-                gt_strs = (big, w)
 
+        end_val = np.where(mv.ref_len[sel] != mv.rlen[sel],
+                           mv.pos[sel] + mv.rlen[sel], -1)
+
+        from .. import native
+        if native.get_lib() is not None:
+            # contig-name buffer indexed per site by rid
+            names = [n.encode("latin-1") for n in ctg_names]
+            name_cat = b"".join(names)
+            name_lens = np.array([len(x) for x in names], dtype=np.int32)
+            name_offs = np.zeros(len(names), dtype=np.int64)
+            np.cumsum(name_lens[:-1], out=name_offs[1:])
+            rid = mv.rid[sel]
+            data = native.emit_vcf_lines(
+                name_cat, name_offs[rid], name_lens[rid],
+                (mv.pos[sel] + 1),
+                mv.ref_cat, mv.ref_off[sel], mv.ref_len[sel].astype(np.int32),
+                mv.alt_cat, mv.alt_off[sel], mv.alt_len[sel].astype(np.int32),
+                mv.n_allele[sel], end_val,
+                int(bool(info_on)), n_groups,
+                an[sel], ac[sel], ac_m[sel],
+                gan[sel] if gan is not None else None,
+                gac[sel] if gac is not None else None,
+                gac_m[sel] if gac_m is not None else None,
+                cells)
+            raw = getattr(out, "buffer", None)
+            if raw is not None:
+                out.flush()
+                raw.write(data)
+                raw.flush()
+            else:
+                out.write(data.decode("latin-1"))
+            return
+
+        # ----- Python fallback -----
+        gt_strs = None
+        if cells is not None:
+            big = cells.tobytes().decode("latin-1")
+            gt_strs = (big, 4 * cells.shape[1])
+        pos1 = (mv.pos[sel] + 1).tolist()
+        rid_l = mv.rid[sel].tolist()
+        sel_l = sel.tolist()
+        end_l = end_val.tolist()
+        if info_on:
+            an_l = an[sel].tolist()
+            ac_l = ac[sel].tolist()
         parts: list[str] = []
         ap = parts.append
         for k in range(len(sel_l)):
             chrom = ctg_names[rid_l[k]]
             i = sel_l[k]
-            if not irr_l[k]:
-                if info_on:
-                    if n_groups > 1:
-                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}"
-                                f"\t0\t.\tAN={an_l[k]};AC={ac_l[k]}"
-                                + gtempl.format(*(gv[k] for gv in gvals)))
-                    else:
-                        line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}"
-                                f"\t0\t.\tAN={an_l[k]};AC={ac_l[k]}")
-                else:
-                    line = f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}\t0\t.\t."
-            else:
-                infos = []
-                if mv.ref_len[i] != mv.rlen[i]:
-                    infos.append(f"END={int(mv.pos[i] + mv.rlen[i])}")
-                multi = mv.n_allele[i] > 2
-                if info_on:
-                    infos.append(f"AN={int(an[i])}")
-                    infos.append(f"AC={int(ac[i])},{int(ac_m[i])}" if multi
-                                 else f"AC={int(ac[i])}")
-                    if n_groups > 1:
-                        for gi in range(n_groups):
-                            infos.append(f"AN{gi + 1}={int(gan[i, gi])}")
-                            infos.append(
-                                f"AC{gi + 1}={int(gac[i, gi])},{int(gac_m[i, gi])}"
-                                if multi else f"AC{gi + 1}={int(gac[i, gi])}")
-                line = (f"{chrom}\t{pos1[k]}\t.\t{ref_str[i]}\t{alt_str[i]}\t0\t.\t"
-                        + (";".join(infos) if infos else "."))
+            multi = mv.n_allele[i] > 2
+            alt_disp = mv.alt_s(i) + (",<M>" if multi else "")
+            infos = []
+            if end_l[k] >= 0:
+                infos.append(f"END={end_l[k]}")
+            if info_on:
+                infos.append(f"AN={an_l[k]}")
+                infos.append(f"AC={ac_l[k]},{int(ac_m[i])}" if multi
+                             else f"AC={ac_l[k]}")
+                if n_groups > 1:
+                    for gi in range(n_groups):
+                        infos.append(f"AN{gi + 1}={int(gan[i, gi])}")
+                        infos.append(
+                            f"AC{gi + 1}={int(gac[i, gi])},{int(gac_m[i, gi])}"
+                            if multi else f"AC{gi + 1}={int(gac[i, gi])}")
+            line = (f"{chrom}\t{pos1[k]}\t.\t{mv.ref_s(i)}\t{alt_disp}\t0\t.\t"
+                    + (";".join(infos) if infos else "."))
             if gt_strs is not None:
                 big, w = gt_strs
                 line += "\tGT" + big[k * w: (k + 1) * w]
@@ -602,14 +641,13 @@ class FastView:
         def gen(i: int) -> str:
             ss = self._site_info(i, counts)
             parts = []
-            alt1 = mv.alt_str[i].split(",", 1)[0]
             for ke in bm.fields:
                 bm._assign_expr(ke, ss)
                 ke.set_str("CHROM", ctg_names[int(mv.rid[i])])
                 ke.set_int("POS", int(mv.pos[i]) + 1)
                 ke.set_int("END", int(mv.pos[i] + mv.rlen[i]))
-                ke.set_str("REF", mv.ref_str[i])
-                ke.set_str("ALT", alt1)
+                ke.set_str("REF", mv.ref_s(i))
+                ke.set_str("ALT", mv.alt_s(i))
                 err, iv, rv, sv, t = ke.eval()
                 if err:
                     parts.append("*")

@@ -270,6 +270,119 @@ done:
     return n_rows;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// VCF line assembly
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline char* put_int(char* p, int64_t v) {
+    if (v < 0) {
+        *p++ = '-';
+        v = -v;
+    }
+    char tmp[24];
+    int n = 0;
+    do {
+        tmp[n++] = (char)('0' + v % 10);
+        v /= 10;
+    } while (v);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+inline char* put_mem(char* p, const char* s, size_t n) {
+    memcpy(p, s, n);
+    return p + n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Assemble `n` VCF site lines into out_buf; returns bytes written (<0 if the
+// buffer is too small).  Per site i:
+//   chrom \t pos1 \t . \t REF \t ALT[,<M>] \t 0 \t . \t INFO [\tGT cells] \n
+// INFO: [END=..;]AN=..;AC=..[,acm][;ANg=..;ACg=..[,acmg]]*   or "."
+//
+// chroms: concatenated contig names with offsets per site (chrom_off[i],
+// chrom_len[i]); ref/alt similarly.  n_allele>2 appends ",<M>" and makes AC
+// two-valued.  end_val[i] >= 0 emits END=end_val.  info_on=0 emits "." (or
+// just END).  n_groups>1 appends per-group AN#/AC#.  gt_cells may be null;
+// otherwise it holds n * gt_width bytes appended verbatim after "\tGT".
+int64_t bgt_emit_vcf_lines(
+    int64_t n,
+    const char* chrom_bytes, const int64_t* chrom_off, const int32_t* chrom_len,
+    const int64_t* pos1,
+    const char* ref_bytes, const int64_t* ref_off, const int32_t* ref_len,
+    const char* alt_bytes, const int64_t* alt_off, const int32_t* alt_len,
+    const int32_t* n_allele, const int64_t* end_val,
+    int32_t info_on, int32_t n_groups,
+    const int64_t* an, const int64_t* ac, const int64_t* ac_m,
+    const int64_t* gan, const int64_t* gac, const int64_t* gac_m,  // n x G
+    const char* gt_cells, int64_t gt_width,
+    char* out_buf, int64_t out_cap) {
+    char* p = out_buf;
+    char* lim = out_buf + out_cap - 1;
+    for (int64_t i = 0; i < n; ++i) {
+        // worst-case bound per line (numbers ~20B each)
+        int64_t bound = chrom_len[i] + ref_len[i] + alt_len[i] + 64 +
+                        (int64_t)(n_groups + 1) * 96 + (gt_cells ? gt_width + 3 : 0);
+        if (p + bound > lim) return -1;
+        p = put_mem(p, chrom_bytes + chrom_off[i], chrom_len[i]);
+        *p++ = '\t';
+        p = put_int(p, pos1[i]);
+        p = put_mem(p, "\t.\t", 3);
+        p = put_mem(p, ref_bytes + ref_off[i], ref_len[i]);
+        *p++ = '\t';
+        p = put_mem(p, alt_bytes + alt_off[i], alt_len[i]);
+        bool multi = n_allele[i] > 2;
+        if (multi) p = put_mem(p, ",<M>", 4);
+        p = put_mem(p, "\t0\t.\t", 5);
+        bool any = false;
+        if (end_val[i] >= 0) {
+            p = put_mem(p, "END=", 4);
+            p = put_int(p, end_val[i]);
+            any = true;
+        }
+        if (info_on) {
+            if (any) *p++ = ';';
+            p = put_mem(p, "AN=", 3);
+            p = put_int(p, an[i]);
+            p = put_mem(p, ";AC=", 4);
+            p = put_int(p, ac[i]);
+            if (multi) {
+                *p++ = ',';
+                p = put_int(p, ac_m[i]);
+            }
+            for (int32_t g = 0; n_groups > 1 && g < n_groups; ++g) {
+                p = put_mem(p, ";AN", 3);
+                p = put_int(p, g + 1);
+                *p++ = '=';
+                p = put_int(p, gan[i * n_groups + g]);
+                p = put_mem(p, ";AC", 3);
+                p = put_int(p, g + 1);
+                *p++ = '=';
+                p = put_int(p, gac[i * n_groups + g]);
+                if (multi) {
+                    *p++ = ',';
+                    p = put_int(p, gac_m[i * n_groups + g]);
+                }
+            }
+            any = true;
+        }
+        if (!any) *p++ = '.';
+        if (gt_cells) {
+            p = put_mem(p, "\tGT", 3);
+            p = put_mem(p, gt_cells + i * gt_width, gt_width);
+        }
+        *p++ = '\n';
+    }
+    return (int64_t)(p - out_buf);
+}
+
 const char* bgt_host_version(void) { return "bgt_host 0.1"; }
 
 }  // extern "C"
