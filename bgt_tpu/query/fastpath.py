@@ -406,15 +406,23 @@ class FastView:
     # --- the full run ------------------------------------------------------
 
     def run(self, out) -> None:
+        from ..log import device_trace
+        with device_trace():
+            self._run(out)
+
+    def _run(self, out) -> None:
+        from ..log import stage
         bm = self.bm
         opt = self.opt
         if all(ctx.g.n_out == 0 for ctx in self.dbs):
             return
-        rows_per_db = [
-            ctx.select_rows() if ctx.g.n_out > 0 else np.zeros(0, np.int64)
-            for ctx in self.dbs
-        ]
-        mv = self._merge(rows_per_db)
+        with stage("site-select"):
+            rows_per_db = [
+                ctx.select_rows() if ctx.g.n_out > 0 else np.zeros(0, np.int64)
+                for ctx in self.dbs
+            ]
+        with stage("merge"):
+            mv = self._merge(rows_per_db)
         n_groups = bm.n_groups
 
         # per-DB device counts, then merge with missing-fill (code 2)
@@ -424,7 +432,8 @@ class FastView:
                 continue
             masks = ctx.masks(n_groups)
             rows_d = rows_per_db[d]
-            cd = ctx.counts_for(rows_d, masks, self.sharding)
+            with stage(f"device-counts[{d}]"):
+                cd = ctx.counts_for(rows_d, masks, self.sharding)
             bm.n_gt_read += int(rows_d.size) * ctx.g.n_out
             pres = mv.pres[:, d]
             if len(self.dbs) == 1:
@@ -515,11 +524,12 @@ class FastView:
                     return np.zeros((msel.size, 0), dtype=np.uint8)
                 return np.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
 
-        self._emit_vcf_lines(out, sel, mv, an, ac, ac_m,
-                             gan if n_groups > 1 else None,
-                             gac if n_groups > 1 else None,
-                             gac_m if n_groups > 1 else None,
-                             info_on, gt_codes_fn, ctg_names)
+        with stage("emit"):
+            self._emit_vcf_lines(out, sel, mv, an, ac, ac_m,
+                                 gan if n_groups > 1 else None,
+                                 gac if n_groups > 1 else None,
+                                 gac_m if n_groups > 1 else None,
+                                 info_on, gt_codes_fn, ctg_names)
 
     def _emit_vcf_lines(self, out, sel, mv: MergedSites, an, ac, ac_m,
                         gan, gac, gac_m, info_on, gt_codes_fn, ctg_names) -> None:

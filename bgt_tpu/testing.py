@@ -179,6 +179,24 @@ def cohort_vcf(
     return "\n".join(lines) + "\n"
 
 
+def vcf_text_to_bcf(vcf_text: str, out_path: str) -> None:
+    """Convert VCF text to a BCF2 file (for BCF-input import tests)."""
+    from .formats import bcf as bcflib
+    from .io.bgzf import BgzfWriter
+
+    lines = vcf_text.splitlines()
+    hdr_lines = [l for l in lines if l.startswith("#")]
+    h = bcflib.BcfHeader.from_text("\n".join(hdr_lines))
+    with BgzfWriter(out_path) as out:
+        h.write_bcf(out)
+        b = bcflib.Bcf1()
+        for line in lines:
+            if line.startswith("#") or not line:
+                continue
+            bcflib.vcf_parse1(line, h, b)
+            b.write(out)
+
+
 def random_spl(n_samples: int, seed: int = 0, sample_prefix: str = "S",
                populations=("CEU", "YRI", "CHB", "TSI")) -> str:
     """Sample metadata in FMF with population and gender keys."""

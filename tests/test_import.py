@@ -85,3 +85,43 @@ def test_import_keep_filtered_parity(tmp_path, ref_bgt):
                         is_vcf=True, keep_filtered=True)
     assert (tmp_path / "ourdb.bcf").read_bytes() == (tmp_path / "refdb.bcf").read_bytes()
     assert (tmp_path / "ourdb.pbf").read_bytes() == (tmp_path / "refdb.pbf").read_bytes()
+
+
+def test_import_from_bcf_input(tmp_path, ref_bgt):
+    """BCF-format input (the reference's canonical input) imports identically."""
+    from bgt_tpu import testing
+    vcf = testing.random_vcf(n_samples=10, n_sites=70, seed=5)
+    (tmp_path / "in.vcf").write_text(vcf)
+    testing.vcf_text_to_bcf(vcf, str(tmp_path / "in.bcf"))
+    res = run_ref(ref_bgt, ["import", "refdb", "in.bcf"], tmp_path)
+    assert res.returncode == 0, res.stderr.decode()
+    importer.import_vcf(str(tmp_path / "ourdb"), [str(tmp_path / "in.bcf")])
+    for ext in (".bcf", ".pbf", ".spl"):
+        assert (tmp_path / f"ourdb{ext}").read_bytes() == \
+            (tmp_path / f"refdb{ext}").read_bytes(), ext
+    # and VCF-input import of the same data matches the BCF-input import
+    res = run_ref(ref_bgt, ["import", "-S", "refdb2", "in.vcf"], tmp_path)
+    assert res.returncode == 0
+    assert (tmp_path / "refdb.bcf").read_bytes() == (tmp_path / "refdb2.bcf").read_bytes()
+
+
+def test_import_multi_input_append(tmp_path, ref_bgt):
+    """Multiple input files append into one database (import.c:85-109)."""
+    from bgt_tpu import testing
+    v1 = testing.random_vcf(n_samples=5, n_sites=40, seed=8)
+    # second file continues at higher positions on the same chromosome
+    v2_full = testing.random_vcf(n_samples=5, n_sites=80, seed=9)
+    head = [l for l in v2_full.splitlines() if l.startswith("#")]
+    body = [l for l in v2_full.splitlines() if not l.startswith("#")]
+    tail = [l for l in body if int(l.split("\t")[1]) > 100000]
+    v2 = "\n".join(head + tail) + "\n"
+    (tmp_path / "a.vcf").write_text(v1)
+    (tmp_path / "b.vcf").write_text(v2)
+    res = run_ref(ref_bgt, ["import", "-S", "refdb", "a.vcf", "b.vcf"], tmp_path)
+    assert res.returncode == 0, res.stderr.decode()
+    importer.import_vcf(str(tmp_path / "ourdb"),
+                        [str(tmp_path / "a.vcf"), str(tmp_path / "b.vcf")],
+                        is_vcf=True)
+    for ext in (".bcf", ".pbf"):
+        assert (tmp_path / f"ourdb{ext}").read_bytes() == \
+            (tmp_path / f"refdb{ext}").read_bytes(), ext
