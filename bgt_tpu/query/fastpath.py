@@ -140,13 +140,57 @@ class DeviceTiles:
         self.p0.block_until_ready()
 
 
-def get_device_tiles(bf: engine.BgtFile) -> DeviceTiles:
+def _hbm_budget() -> int:
+    """Bytes of device memory we allow for resident tiles."""
+    import os
+    env = os.environ.get("BGT_TPU_HBM_BUDGET")
+    if env:
+        return int(env)
+    try:
+        import jax
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return int(limit * 0.6)
+    except Exception:  # noqa: BLE001
+        pass
+    return 8 << 30
+
+
+def get_device_tiles(bf: engine.BgtFile) -> DeviceTiles | None:
+    """Device-resident planes, or None when they exceed the HBM budget
+    (queries then stream row chunks through the device instead)."""
     key = _cache_key(bf)
-    dt = _DEVICE_CACHE.get(key)
-    if dt is None:
-        dt = DeviceTiles(get_tiles(bf))
-        _DEVICE_CACHE[key] = dt
+    if key in _DEVICE_CACHE:
+        return _DEVICE_CACHE[key]
+    ts = get_tiles(bf)
+    dt = None
+    if ts.plane0.nbytes * 2 <= _hbm_budget():
+        dt = DeviceTiles(ts)
+    _DEVICE_CACHE[key] = dt
     return dt
+
+
+def stream_counts(ts: TileStore, rows: np.ndarray, masks: np.ndarray,
+                  chunk_rows: int = 8192) -> np.ndarray:
+    """Counts for arbitrary row sets by streaming host->HBM row chunks.
+
+    jax dispatch is asynchronous, so the next chunk's host->device transfer
+    overlaps the previous chunk's kernel (double buffering without explicit
+    semaphores); only the small count tensors are synchronized at the end.
+    """
+    import jax
+    import jax.numpy as jnp
+    jm = jnp.asarray(masks)
+    pending = []
+    for lo in range(0, rows.size, chunk_rows):
+        sl = rows[lo: lo + chunk_rows]
+        p0 = jax.device_put(np.ascontiguousarray(ts.plane0[sl]))
+        p1 = jax.device_put(np.ascontiguousarray(ts.plane1[sl]))
+        pending.append(counts_ops.count_codes(p0, p1, jm))
+    if not pending:
+        return np.zeros((0, masks.shape[0], 4), dtype=np.int32)
+    return np.concatenate([np.asarray(c) for c in pending], axis=0)
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -303,6 +347,8 @@ class _DbCtx:
             counts = sharding.count_range(p0, p1, msk, start, length)
             return np.asarray(counts)[rows - start]
         dt = get_device_tiles(self.bf)
+        if dt is None:  # tiles exceed the HBM budget: stream row chunks
+            return stream_counts(self.ts, rows, masks)
         length = _bucket(span, dt.n_rows)
         start = min(start, dt.n_rows - length)
         counts = counts_ops.count_codes_range(

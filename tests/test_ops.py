@@ -137,3 +137,50 @@ def test_view_sharded_vs_unsharded(tmp_path, ref_bgt, monkeypatch):
     unsharded = run("0")
     assert sharded == ref
     assert unsharded == ref
+
+
+def test_device_pbwt_decode(tmp_path):
+    """The lax.scan PBWT decoder matches the host codec exactly."""
+    from bgt_tpu.formats.pbf import PbfWriter
+    from bgt_tpu.ops import decode as dev_decode
+    rng = np.random.default_rng(77)
+    codes = rng.choice(4, size=(70, 90), p=[0.55, 0.3, 0.05, 0.1]).astype(np.uint8)
+    # include degenerate rows (all-zero / all-one planes)
+    codes[10] = 0
+    codes[11] = 1
+    w = PbfWriter(str(tmp_path / "t.pbf"), 90, 2, 4)  # checkpoint every 16 rows
+    for row in codes:
+        w.write_row([row & 1, row >> 1])
+    w.close()
+    got = dev_decode.decode_pbf_on_device(str(tmp_path / "t.pbf"))
+    assert np.array_equal(got, codes)
+
+
+def test_streaming_counts_path(tmp_path, ref_bgt, monkeypatch):
+    """A tiny HBM budget forces the streaming path; bytes must not change."""
+    import io
+    import os
+    import subprocess
+    from bgt_tpu import testing
+    from bgt_tpu.query import importer, fastpath
+    from bgt_tpu.query.view import main_view
+    vcf = testing.random_vcf(n_samples=9, n_sites=120, seed=66)
+    (tmp_path / "in.vcf").write_text(vcf)
+    importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    ref = subprocess.run([ref_bgt, "view", "-C", "db"], cwd=tmp_path,
+                         capture_output=True, check=True).stdout.decode()
+    monkeypatch.setenv("BGT_TPU_SHARD", "0")
+    monkeypatch.setenv("BGT_TPU_HBM_BUDGET", "1")  # nothing fits
+    fastpath.reset_shard_context()
+    fastpath._DEVICE_CACHE.clear()
+    buf = io.StringIO()
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main_view(["-C", "db"], out=buf) == 0
+    finally:
+        os.chdir(old)
+        fastpath._DEVICE_CACHE.clear()
+        fastpath.reset_shard_context()
+    assert buf.getvalue() == ref
