@@ -124,6 +124,46 @@ def time_ours() -> tuple[float, int]:
     return best, n_sites
 
 
+def time_ref_dump(ref_bgt: str) -> float:
+    t0 = time.time()
+    subprocess.run([ref_bgt, "view", "-C", "refdb"], cwd=BENCH_DIR,
+                   stdout=subprocess.DEVNULL, check=True)
+    return time.time() - t0
+
+
+def time_ours_dump() -> float:
+    from bgt_tpu.query.view import main_view
+
+    class BinSink(io.TextIOBase):
+        def __init__(self):
+            outer = self
+
+            class B:
+                def write(b, data):
+                    return len(data)
+
+                def flush(b):
+                    pass
+
+            self.buffer = B()
+
+        def write(self, s):
+            return len(s)
+
+    old = os.getcwd()
+    os.chdir(BENCH_DIR)
+    try:
+        main_view(["-C", "-n", "2000", "ourdb"], out=BinSink())  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            main_view(["-C", "ourdb"], out=BinSink())
+            best = min(best, time.time() - t0)
+    finally:
+        os.chdir(old)
+    return best
+
+
 def time_ref(ref_bgt: str) -> float:
     best = float("inf")
     for _ in range(3):
@@ -149,6 +189,14 @@ def main():
     log(f"reference: {n_sites} sites in {t_ref:.2f}s = {n_sites / t_ref:,.0f} sites/s")
     t_ours, _ = time_ours()
     ours_rate = n_sites / t_ours
+    # secondary: full-matrix GT dump (view -C), both engines
+    try:
+        t_dump_ref = time_ref_dump(ref_bgt)
+        t_dump_ours = time_ours_dump()
+        log(f"full -C dump: ours {t_dump_ours:.2f}s vs reference {t_dump_ref:.2f}s "
+            f"({t_dump_ref / t_dump_ours:.1f}x)")
+    except Exception as e:
+        log(f"dump benchmark skipped: {e}")
     log(f"ours: {n_sites} sites in {t_ours:.2f}s = {ours_rate:,.0f} sites/s")
     gt_rate = ours_rate * N_SAMPLES * 2
     log(f"ours genotype throughput: {gt_rate / 1e6:,.0f} M genotypes/s")

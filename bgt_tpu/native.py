@@ -59,17 +59,39 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # an, ac, ac_m
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # gan, gac, gac_m
         ctypes.c_char_p, ctypes.c_int64,                    # gt cells
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # gt planes
+        ctypes.c_void_p, ctypes.c_int64,                    # gt cols
         ctypes.c_char_p, ctypes.c_int64,                    # out buf
     ]
     _lib = lib
     return _lib
 
 
+_EMIT_BUF = [None]
+
+
+def _emit_buffer(cap: int):
+    """Reusable grow-only output buffer (page faults on fresh GB-sized
+    allocations dominate emission cost otherwise)."""
+    import numpy as np
+    buf = _EMIT_BUF[0]
+    if buf is None or buf.size < cap:
+        buf = np.empty(int(cap * 1.2), dtype=np.uint8)
+        _EMIT_BUF[0] = buf
+    return buf
+
+
 def emit_vcf_lines(chrom_cat, chrom_off, chrom_len, pos1,
                    ref_cat, ref_off, ref_len, alt_cat, alt_off, alt_len,
                    n_allele, end_val, info_on, n_groups,
-                   an, ac, ac_m, gan, gac, gac_m, cells) -> bytes:
-    """Native VCF line assembly; returns the concatenated line bytes."""
+                   an, ac, ac_m, gan, gac, gac_m, cells,
+                   gt_planes=None) -> bytes:
+    """Native VCF line assembly; returns the concatenated line bytes.
+
+    ``cells``: prebuilt GT cell matrix (uint32 LUT entries), or None.
+    ``gt_planes``: (p0_rows, p1_rows, cols) packed planes for the selected
+    sites — GT text is generated inside the C call (preferred for dumps).
+    """
     import numpy as np
     lib = get_lib()
     n = len(pos1)
@@ -93,12 +115,29 @@ def emit_vcf_lines(chrom_cat, chrom_off, chrom_len, pos1,
             gptr[j] = ga.ctypes.data_as(ctypes.c_void_p)
     gt_bytes = None
     gt_width = 0
+    gp0 = gp1 = gcols = None
+    gt_words = 0
+    n_pairs = 0
     if cells is not None:
         gt_bytes = np.ascontiguousarray(cells).tobytes()
         gt_width = 4 * cells.shape[1]
+    elif gt_planes is not None:
+        p0_rows, p1_rows, cols = gt_planes
+        p0_rows = np.ascontiguousarray(p0_rows, dtype=np.uint32)
+        p1_rows = np.ascontiguousarray(p1_rows, dtype=np.uint32)
+        cols32 = np.ascontiguousarray(cols, dtype=np.int32)
+        arrs.append(p0_rows)
+        arrs.append(p1_rows)
+        arrs32.append(cols32)
+        gp0 = p0_rows.ctypes.data_as(ctypes.c_void_p)
+        gp1 = p1_rows.ctypes.data_as(ctypes.c_void_p)
+        gcols = cols32.ctypes.data_as(ctypes.c_void_p)
+        gt_words = p0_rows.shape[1]
+        n_pairs = cols32.size // 2
+        gt_width = 4 * n_pairs
     cap = int(arrs32[0].sum() + arrs32[1].sum() + arrs32[2].sum()
               + n * (80 + (n_groups + 1) * 96 + gt_width + 8) + 1024)
-    buf = np.empty(cap, dtype=np.uint8)
+    buf = _emit_buffer(cap)
     ret = lib.bgt_emit_vcf_lines(
         n,
         chrom_cat, arrs[0].ctypes.data_as(ctypes.c_void_p),
@@ -116,11 +155,12 @@ def emit_vcf_lines(chrom_cat, chrom_off, chrom_len, pos1,
         arrs[7].ctypes.data_as(ctypes.c_void_p),
         gptr[0], gptr[1], gptr[2],
         gt_bytes, gt_width,
+        gp0, gp1, gt_words, gcols, n_pairs,
         buf.ctypes.data_as(ctypes.c_char_p), cap,
     )
     if ret < 0:
         raise OSError("emit buffer overflow")
-    return buf[:ret].tobytes()
+    return buf[:ret]  # zero-copy view; writable straight to a binary sink
 
 
 class NativePbfWriter:

@@ -72,6 +72,21 @@ def gather_codes_range(p0, p1, cols, start, length: int, n_out: int):
     return jnp.take(codes, cols, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def gt_pair_idx_range(p0, p1, cols, start, length: int):
+    """Diploid GT cell indices for a row slice: code(hap0)*4+code(hap1).
+
+    The full decode + column subset + pairing runs on device; the readback
+    is one uint8 per sample per site (the direct input to the 16-entry text
+    cell LUT).
+    """
+    s0 = jax.lax.dynamic_slice_in_dim(p0, start, length, axis=0)
+    s1 = jax.lax.dynamic_slice_in_dim(p1, start, length, axis=0)
+    codes = decode_codes(s0, s1)
+    sub = jnp.take(codes, cols, axis=1)
+    return (sub[:, 0::2] << 2) | sub[:, 1::2]
+
+
 def site_stats(counts: jax.Array) -> dict:
     """AN/AC vectors from (rows, groups, 4) counts (bgtm_cal_info)."""
     tot = counts.sum(axis=1)  # (rows, 4)

@@ -285,6 +285,9 @@ class _DbCtx:
         self.st = get_site_table(self.bf)
         self.ts = get_tiles(self.bf)
         self.opt = opt
+        # GT gathers use host decode when counting runs on a mesh (avoids
+        # holding a second, unsharded device copy of the planes)
+        self.sharding_active = False
 
     def select_rows(self) -> np.ndarray:
         st = self.st
@@ -355,6 +358,23 @@ class _DbCtx:
             dt.p0, dt.p1, jnp.asarray(masks), start, length)
         return np.asarray(counts)[rows - start]
 
+    def pairs_for(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        """(len(rows), n_samples) uint8 GT cell indices (code0*4+code1)."""
+        if rows.size == 0 or cols.size == 0:
+            return np.zeros((rows.size, cols.size // 2), dtype=np.uint8)
+        dt = None if self.sharding_active else get_device_tiles(self.bf)
+        if dt is not None:
+            import jax.numpy as jnp
+            start = int(rows[0])
+            span = int(rows[-1]) + 1 - start
+            length = _bucket(span, dt.n_rows)
+            start = min(start, dt.n_rows - length)
+            pairs = counts_ops.gt_pair_idx_range(
+                dt.p0, dt.p1, jnp.asarray(cols), start, length)
+            return np.asarray(pairs)[rows - start]
+        codes = self.ts.codes(rows, cols)
+        return (codes[:, 0::2] << 2) | codes[:, 1::2]
+
 
 class FastView:
     """Executes a prepared BgtmReader query batch-wise."""
@@ -364,6 +384,8 @@ class FastView:
         self.opt = opt
         self.dbs = [_DbCtx(g, opt) for g in bm.bgt]
         self.sharding = sharding if sharding is not None else get_shard_context()
+        for ctx in self.dbs:
+            ctx.sharding_active = self.sharding is not None
 
     # --- merge -------------------------------------------------------------
 
@@ -546,6 +568,7 @@ class FastView:
             return
 
         gt_codes_fn = None
+        gt_planes_spec = None
         if not no_gt:
             mgs_off = 0
             per_db_cols = []
@@ -553,8 +576,14 @@ class FastView:
                 m = ctx.g.n_out
                 per_db_cols.append(ctx.gt_cols(np.asarray(bm.mgs[mgs_off: mgs_off + m])))
                 mgs_off += m
+            from .. import native
+            if (len(self.dbs) == 1 and per_db_cols[0].size
+                    and native.get_lib() is not None):
+                # zero-copy dump: the native emitter reads the packed planes
+                gt_planes_spec = (self.dbs[0], per_db_cols[0])
 
             def gt_codes_fn(msel: np.ndarray) -> np.ndarray:
+                """(sites, samples) uint8 GT cell indices across databases."""
                 blocks = []
                 for d, ctx in enumerate(self.dbs):
                     cols = per_db_cols[d]
@@ -562,9 +591,10 @@ class FastView:
                         continue
                     pres = mv.pres[msel, d]
                     have = pres >= 0
-                    block = np.full((msel.size, cols.size), 2, dtype=np.uint8)
+                    # missing record: both haplotypes read code 2 -> idx 10
+                    block = np.full((msel.size, cols.size // 2), 10, dtype=np.uint8)
                     if have.any():
-                        block[have] = ctx.ts.codes(pres[have], cols)
+                        block[have] = ctx.pairs_for(pres[have], cols)
                     blocks.append(block)
                 if not blocks:
                     return np.zeros((msel.size, 0), dtype=np.uint8)
@@ -575,10 +605,12 @@ class FastView:
                                  gan if n_groups > 1 else None,
                                  gac if n_groups > 1 else None,
                                  gac_m if n_groups > 1 else None,
-                                 info_on, gt_codes_fn, ctg_names)
+                                 info_on, gt_codes_fn, ctg_names,
+                                 gt_planes_spec)
 
     def _emit_vcf_lines(self, out, sel, mv: MergedSites, an, ac, ac_m,
-                        gan, gac, gac_m, info_on, gt_codes_fn, ctg_names) -> None:
+                        gan, gac, gac_m, info_on, gt_codes_fn, ctg_names,
+                        gt_planes_spec=None) -> None:
         """Assemble and write all passing site lines.
 
         Native path: one C call assembles every line (itoa + memcpy) from the
@@ -588,17 +620,23 @@ class FastView:
         n_groups = self.bm.n_groups
         from .view import _CELL_LUT
 
-        # GT cells for the whole selection in one gather
+        # GT cells: native zero-copy from packed planes when possible, else
+        # pair-index gathers + LUT
         cells = None
-        if gt_codes_fn is not None:
+        gt_planes = None
+        if gt_planes_spec is not None:
+            ctx, cols = gt_planes_spec
+            rows = mv.pres[sel, 0]
+            gt_planes = (ctx.ts.plane0[rows], ctx.ts.plane1[rows], cols)
+            gt_codes_fn = None
+        elif gt_codes_fn is not None:
             blocks = []
             for lo in range(0, sel.size, BATCH_ROWS):
-                codes = gt_codes_fn(sel[lo: lo + BATCH_ROWS])
-                if codes.shape[1] == 0:
+                pairs = gt_codes_fn(sel[lo: lo + BATCH_ROWS])
+                if pairs.shape[1] == 0:
                     gt_codes_fn = None
                     break
-                idx = codes[:, 0::2].astype(np.int64) * 4 + codes[:, 1::2]
-                blocks.append(_CELL_LUT[idx])
+                blocks.append(_CELL_LUT[pairs])
             if gt_codes_fn is not None:
                 cells = np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
 
@@ -625,14 +663,14 @@ class FastView:
                 gan[sel] if gan is not None else None,
                 gac[sel] if gac is not None else None,
                 gac_m[sel] if gac_m is not None else None,
-                cells)
+                cells, gt_planes)
             raw = getattr(out, "buffer", None)
             if raw is not None:
                 out.flush()
-                raw.write(data)
+                raw.write(memoryview(data))
                 raw.flush()
             else:
-                out.write(data.decode("latin-1"))
+                out.write(data.tobytes().decode("latin-1"))
             return
 
         # ----- Python fallback -----

@@ -310,8 +310,14 @@ extern "C" {
 // chroms: concatenated contig names with offsets per site (chrom_off[i],
 // chrom_len[i]); ref/alt similarly.  n_allele>2 appends ",<M>" and makes AC
 // two-valued.  end_val[i] >= 0 emits END=end_val.  info_on=0 emits "." (or
-// just END).  n_groups>1 appends per-group AN#/AC#.  gt_cells may be null;
-// otherwise it holds n * gt_width bytes appended verbatim after "\tGT".
+// just END).  n_groups>1 appends per-group AN#/AC#.
+//
+// Genotype output, two mutually exclusive sources:
+//  - gt_cells: n * gt_width prebuilt bytes appended verbatim after "\tGT";
+//  - gt_p0/gt_p1: n x gt_words packed bit-plane rows (GTC layout) with
+//    gt_cols listing 2*n_gt_pairs haplotype columns; cells are generated
+//    inline ("\t<c>/<c>" with code chars 0,1,.,2), which is the zero-copy
+//    path for full-matrix dumps.
 int64_t bgt_emit_vcf_lines(
     int64_t n,
     const char* chrom_bytes, const int64_t* chrom_off, const int32_t* chrom_len,
@@ -323,7 +329,11 @@ int64_t bgt_emit_vcf_lines(
     const int64_t* an, const int64_t* ac, const int64_t* ac_m,
     const int64_t* gan, const int64_t* gac, const int64_t* gac_m,  // n x G
     const char* gt_cells, int64_t gt_width,
+    const uint32_t* gt_p0, const uint32_t* gt_p1, int64_t gt_words,
+    const int32_t* gt_cols, int64_t n_gt_pairs,
     char* out_buf, int64_t out_cap) {
+    static const char code_char[4] = {'0', '1', '.', '2'};
+    if (gt_p0) gt_width = 4 * n_gt_pairs;
     char* p = out_buf;
     char* lim = out_buf + out_cap - 1;
     for (int64_t i = 0; i < n; ++i) {
@@ -377,6 +387,22 @@ int64_t bgt_emit_vcf_lines(
         if (gt_cells) {
             p = put_mem(p, "\tGT", 3);
             p = put_mem(p, gt_cells + i * gt_width, gt_width);
+        } else if (gt_p0) {
+            p = put_mem(p, "\tGT", 3);
+            const uint32_t* r0 = gt_p0 + i * gt_words;
+            const uint32_t* r1 = gt_p1 + i * gt_words;
+            for (int64_t s = 0; s < n_gt_pairs; ++s) {
+                uint32_t j0 = (uint32_t)gt_cols[2 * s];
+                uint32_t j1 = (uint32_t)gt_cols[2 * s + 1];
+                unsigned c0 = ((r0[j0 >> 5] >> (j0 & 31)) & 1u) |
+                              (((r1[j0 >> 5] >> (j0 & 31)) & 1u) << 1);
+                unsigned c1 = ((r0[j1 >> 5] >> (j1 & 31)) & 1u) |
+                              (((r1[j1 >> 5] >> (j1 & 31)) & 1u) << 1);
+                *p++ = '\t';
+                *p++ = code_char[c0];
+                *p++ = '/';
+                *p++ = code_char[c1];
+            }
         }
         *p++ = '\n';
     }
