@@ -230,3 +230,101 @@ def test_multi_db_duplicate_sites(tmp_path, ref_bgt):
             os.chdir(old)
         assert ret == 0
         assert buf.getvalue() == ref.stdout.decode(), f"args {args}"
+
+
+def test_multi_contig_parity(tmp_path, ref_bgt):
+    """Databases spanning several chromosomes: regions, filters, dumps."""
+    vcf = testing.random_vcf(n_samples=10, n_sites=60, seed=71,
+                             chroms=("11", "12", "X"))
+    (tmp_path / "in.vcf").write_text(vcf)
+    res = subprocess.run([ref_bgt, "import", "-S", "refdb", "in.vcf"],
+                         cwd=tmp_path, capture_output=True)
+    assert res.returncode == 0, res.stderr.decode()
+    importer.import_vcf(str(tmp_path / "ourdb"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    assert (tmp_path / "ourdb.bcf").read_bytes() == (tmp_path / "refdb.bcf").read_bytes()
+    cases = [
+        ["-C"],
+        ["-r", "12", "-C"],                  # whole-chromosome region
+        ["-r", "X:10000-200000", "-C"],
+        ["-r", "11:50000-90000"],
+        ["-G", "-f", "AC>0", "-r", "12:1-135006516"],
+        ["-i", "30", "-n", "40", "-C"],      # paging across a contig boundary
+    ]
+    for args in cases:
+        ref = subprocess.run([ref_bgt, "view"] + args + ["refdb"], cwd=tmp_path,
+                             capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        ours = run_ours(args, tmp_path)
+        assert ours == ref.stdout.decode(), f"args {args}"
+
+
+def test_mgs_privacy_parity(tmp_path, ref_bgt):
+    """_mgs-protected samples: GT suppression and name-list gating."""
+    vcf = testing.random_vcf(n_samples=8, n_sites=50, seed=72)
+    (tmp_path / "in.vcf").write_text(vcf)
+    subprocess.run([ref_bgt, "import", "-S", "refdb", "in.vcf"], cwd=tmp_path,
+                   capture_output=True, check=True)
+    importer.import_vcf(str(tmp_path / "ourdb"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    spl = []
+    for i in range(8):
+        mgs = "\t_mgs:i:5" if i in (2, 5) else ""
+        spl.append(f"S{i:04d}\tpopulation:Z:{'CEU' if i < 4 else 'YRI'}{mgs}")
+    (tmp_path / "refdb.spl").write_text("\n".join(spl) + "\n")
+    (tmp_path / "ourdb.spl").write_text("\n".join(spl) + "\n")
+    cases = [
+        ["-C"],                               # S0002/S0005 GT suppressed
+        ["-s", ",S0002,S0003", "-C"],         # protected name silently dropped
+        ["-s", 'population=="CEU"', "-C"],    # expression includes protected
+    ]
+    for args in cases:
+        ref = subprocess.run([ref_bgt, "view"] + args + ["refdb"], cwd=tmp_path,
+                             capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        ours = run_ours(args, tmp_path)
+        assert ours == ref.stdout.decode(), f"args {args}"
+
+
+def test_atomize_modes_parity(tmp_path, ref_bgt):
+    """bgt atomize -0 / default / -M three-way genotype policies."""
+    import io as _io
+    from bgt_tpu.query.importer import atomize_cli
+    vcf = testing.random_vcf(n_samples=6, n_sites=60, seed=73, p_multi=0.5)
+    (tmp_path / "in.vcf").write_text(vcf)
+    for flags, kwargs in [
+        ([], {}),
+        (["-M"], {"write_m": True}),
+        (["-0"], {"use_missing": False}),
+    ]:
+        ref = subprocess.run([ref_bgt, "atomize", "-S"] + flags + ["in.vcf"],
+                             cwd=tmp_path, capture_output=True)
+        assert ref.returncode == 0
+        buf = _io.StringIO()
+        atomize_cli(str(tmp_path / "in.vcf"), is_vcf=True, out_fp=buf, **kwargs)
+        assert buf.getvalue() == ref.stdout.decode(), flags
+
+
+def test_fmf_cli_parity(tmp_path, ref_bgt):
+    """bgt fmf in-memory and streaming modes vs the reference binary."""
+    import io as _io
+    from bgt_tpu.cli import main_fmf
+    fmf = ("r1\tage:i:30\tpop:Z:CEU\tflagged\n"
+           "r2\tage:i:45\tpop:Z:YRI\tscore:f:0.75\n"
+           "r3\tpop:Z:CEU\n"
+           "r4\tage:i:0\tscore:f:-1.5\n")
+    (tmp_path / "t.fmf").write_text(fmf)
+    for args in (["t.fmf"], ["t.fmf", 'pop=="CEU"'], ["-n", "t.fmf", "age>35"],
+                 ["-m", "t.fmf", 'age>20&&pop=="CEU"'], ["-m", "-n", "t.fmf", "score<0"]):
+        ref = subprocess.run([ref_bgt, "fmf"] + args, cwd=tmp_path,
+                             capture_output=True)
+        assert ref.returncode == 0
+        buf = _io.StringIO()
+        import os as _os
+        old = _os.getcwd()
+        _os.chdir(tmp_path)
+        try:
+            assert main_fmf(args, out=buf) == 0
+        finally:
+            _os.chdir(old)
+        assert buf.getvalue() == ref.stdout.decode(), args
