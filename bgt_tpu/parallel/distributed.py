@@ -1,0 +1,91 @@
+"""Multi-host execution: the sample-column mesh spanning a pod slice.
+
+On a TPU pod slice each host runs the same query process; JAX's distributed
+runtime stitches the per-host devices into one global mesh and `shard_map`
+collectives ride ICI within a host and DCN across hosts.  The data layout
+follows the single-host design (docs/DESIGN.md §5):
+
+- every host imports (or loads) the column slice of the tile store covering
+  its own samples — the TPU generalization of the reference's "one BGT
+  database per sub-cohort" composition;
+- host-side site selection (CSI regions, BED, FMF metadata, paging) is
+  replicated: each host computes the identical site stream, exactly like
+  each bgt_t of a bgtm set advances in lockstep (reference bgt.c:803-820);
+- per-site/per-group counts psum over the global sample axis; genotype
+  output all-gathers only for sites that pass all filters.
+
+Usage on each host of a slice:
+
+    from bgt_tpu.parallel import distributed
+    distributed.initialize()          # env-driven (TPU pods auto-detect)
+    mesh = distributed.global_mesh()  # ('s',) over every device in the slice
+
+then hand ``mesh`` to :func:`bgt_tpu.parallel.mesh.sharded_count_range_fn`
+with each host's local plane shards placed via
+``jax.make_array_from_single_device_arrays``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from . import mesh as meshlib
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """jax.distributed.initialize with TPU-pod auto-detection defaults."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process runs (tests, one host) proceed without the service
+        pass
+
+
+def global_mesh(axis: str = meshlib.SAMPLE_AXIS) -> jax.sharding.Mesh:
+    """One-axis mesh over every device of every participating process."""
+    return jax.sharding.Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def local_column_range(n_words: int, mesh: jax.sharding.Mesh) -> tuple[int, int]:
+    """The [start, stop) word-column range this process's devices own."""
+    n_dev = mesh.devices.size
+    words = meshlib.pad_words_for_mesh(n_words, n_dev)
+    per_dev = words // n_dev
+    local_ids = sorted(d.id for d in jax.local_devices())
+    return local_ids[0] * per_dev, (local_ids[-1] + 1) * per_dev
+
+
+def place_local_planes(mesh: jax.sharding.Mesh, plane0: np.ndarray,
+                       plane1: np.ndarray):
+    """Build global sharded arrays from this host's column slice.
+
+    ``plane0/plane1`` hold only the local word-column range (as returned by
+    :func:`local_column_range`); the result behaves like the full global
+    array for `shard_map` calls.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, meshlib.SAMPLE_AXIS))
+    n_dev_local = len(jax.local_devices())
+    per_dev = plane0.shape[1] // n_dev_local
+    rows = plane0.shape[0]
+    n_dev = mesh.devices.size
+    global_shape = (rows, per_dev * n_dev)
+
+    def build(plane):
+        shards = []
+        for i, d in enumerate(sorted(jax.local_devices(), key=lambda d: d.id)):
+            shards.append(jax.device_put(
+                plane[:, i * per_dev: (i + 1) * per_dev], d))
+        return jax.make_array_from_single_device_arrays(global_shape, sh, shards)
+
+    return build(plane0), build(plane1)

@@ -184,3 +184,30 @@ def test_streaming_counts_path(tmp_path, ref_bgt, monkeypatch):
         fastpath._DEVICE_CACHE.clear()
         fastpath.reset_shard_context()
     assert buf.getvalue() == ref
+
+
+def test_distributed_helpers_single_process():
+    """distributed.py helpers in the single-process 8-device configuration."""
+    import jax
+    from bgt_tpu.parallel import distributed, mesh as meshlib
+    from bgt_tpu.ops import counts as co
+    distributed.initialize()  # no-op single process
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == 8
+    rng = np.random.default_rng(0)
+    codes = rng.choice(4, size=(32, 250)).astype(np.uint8)
+    ts = TileStore.from_codes(codes)
+    lo, hi = distributed.local_column_range(ts.n_words, mesh)
+    assert lo == 0 and hi >= ts.n_words
+    pad = hi - ts.n_words
+    p0 = np.pad(ts.plane0, ((0, 0), (0, pad)))
+    p1 = np.pad(ts.plane1, ((0, 0), (0, pad)))
+    g0, g1 = distributed.place_local_planes(mesh, p0, p1)
+    masks = np.pad(np.stack([ts.pack_mask(np.arange(ts.m))]), ((0, 0), (0, pad)))
+    fn = meshlib.sharded_count_range_fn(mesh)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    msk = jax.device_put(masks, NamedSharding(mesh, P(None, meshlib.SAMPLE_AXIS)))
+    got = np.asarray(fn(g0, g1, msk, 0, 32))
+    want = ref_counts(codes, [np.arange(ts.m)])
+    assert np.array_equal(got, want)
