@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import struct
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # header line classes (vcf.h:14-17)
 BCF_HL_FLT = 0

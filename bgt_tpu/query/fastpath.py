@@ -359,19 +359,15 @@ class _DbCtx:
         return np.asarray(counts)[rows - start]
 
     def pairs_for(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
-        """(len(rows), n_samples) uint8 GT cell indices (code0*4+code1)."""
+        """(len(rows), n_samples) uint8 GT cell indices (code0*4+code1).
+
+        Host decode: this path serves multi-DB/subset/no-native GT output;
+        the dominant single-DB dump bypasses it entirely (the native emitter
+        reads the packed planes directly), and readback-heavy device GT
+        gathers lose on hosts with slow device->host links.
+        """
         if rows.size == 0 or cols.size == 0:
             return np.zeros((rows.size, cols.size // 2), dtype=np.uint8)
-        dt = None if self.sharding_active else get_device_tiles(self.bf)
-        if dt is not None:
-            import jax.numpy as jnp
-            start = int(rows[0])
-            span = int(rows[-1]) + 1 - start
-            length = _bucket(span, dt.n_rows)
-            start = min(start, dt.n_rows - length)
-            pairs = counts_ops.gt_pair_idx_range(
-                dt.p0, dt.p1, jnp.asarray(cols), start, length)
-            return np.asarray(pairs)[rows - start]
         codes = self.ts.codes(rows, cols)
         return (codes[:, 0::2] << 2) | codes[:, 1::2]
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import sys
-import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
@@ -23,7 +22,6 @@ from urllib.parse import parse_qsl, urlsplit
 from ..formats import bcf as bcflib
 from ..formats.fmf import Fmf
 from ..io import files
-from ..query import engine
 from ..query.engine import (F_CNT_AL, F_CNT_HAP, F_NO_GT, F_SET_AC, BgtFile,
                             BgtmReader)
 
