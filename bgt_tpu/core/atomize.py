@@ -87,6 +87,11 @@ def _gen_at(h: bcflib.BcfHeader, b: Bcf1, atoms: list[Atom]) -> list[Atom]:
         n_gt = b.n_sample * gt.n
         if gt.type == bcflib.BCF_BT_INT8:
             raw = np.frombuffer(bytes(indiv[base: base + n_gt]), dtype=np.uint8)
+            from .. import native
+            nat = native.translate_gt(raw, tr) if native.get_lib() else None
+            if nat is not None:
+                ak.gt, ak.has_multi = nat
+                continue
             c = (raw.astype(np.int32) >> 1) - 1
             tr_arr = np.asarray(tr, dtype=np.uint8)
             codes = np.where(c < 0, np.uint8(2), tr_arr[np.clip(c, 0, None)])

@@ -1028,6 +1028,18 @@ def _parse_gt_fast(joined: str, h: BcfHeader, v: Bcf1) -> bool:
         return False
     if len(joined) % 4 != 3:
         return False
+    from .. import native
+    if native.get_lib() is not None:
+        packed = native.parse_gt_cells(joined.encode("latin-1"), v.n_allele)
+        if packed is None:
+            return False
+        v.n_fmt = 1
+        v.n_sample = packed.size // 2
+        out = v.indiv
+        enc_int1(out, ii.id)
+        enc_size(out, 2, BCF_BT_INT8)
+        out += packed.tobytes()
+        return True
     n = (len(joined) + 1) // 4
     raw = np.frombuffer((joined + "\t").encode("latin-1"), dtype=np.uint8)
     cells = raw.reshape(n, 4)

@@ -63,8 +63,45 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64,                    # gt cols
         ctypes.c_char_p, ctypes.c_int64,                    # out buf
     ]
+    lib.bgt_parse_gt_cells.restype = ctypes.c_int64
+    lib.bgt_parse_gt_cells.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_void_p]
+    lib.bgt_translate_gt.restype = ctypes.c_int32
+    lib.bgt_translate_gt.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_char_p, ctypes.c_int32,
+                                     ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def parse_gt_cells(section: bytes, n_allele: int):
+    """Packed GT bytes for a uniform diploid GT sample section, or None."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_max = (len(section) + 1) // 4
+    out = np.empty(2 * n_max, dtype=np.uint8)
+    n = lib.bgt_parse_gt_cells(section, len(section), n_allele,
+                               out.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        return None
+    return out[: 2 * n]
+
+
+def translate_gt(gt_packed, tr) -> tuple:
+    """(codes, has_multi) through the atomizer allele map; None if no lib."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    gt_packed = np.ascontiguousarray(gt_packed, dtype=np.uint8)
+    tr_b = bytes(tr)
+    codes = np.empty(gt_packed.size, dtype=np.uint8)
+    hm = lib.bgt_translate_gt(gt_packed.ctypes.data_as(ctypes.c_void_p),
+                              gt_packed.size, tr_b, len(tr),
+                              codes.ctypes.data_as(ctypes.c_void_p))
+    return codes, bool(hm)
 
 
 _EMIT_BUF = [None]

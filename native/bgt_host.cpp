@@ -409,6 +409,56 @@ int64_t bgt_emit_vcf_lines(
     return (int64_t)(p - out_buf);
 }
 
+// ---------------------------------------------------------------------------
+// VCF diploid GT section parser (import hot loop)
+// ---------------------------------------------------------------------------
+
+// Parse a tab-separated GT sample section of uniform 3-char diploid cells
+// "a|b" / "a/b" / "." alleles into packed BCF GT bytes ((allele+1)<<1|phase,
+// '.' -> phase bit only).  Returns the number of samples, or -1 when the
+// section is irregular (caller falls back to the general parser).
+int64_t bgt_parse_gt_cells(const char* s, int64_t len, int32_t n_allele,
+                           uint8_t* out) {
+    if (len % 4 != 3) return -1;
+    int64_t n = (len + 1) / 4;
+    for (int64_t i = 0; i < n; ++i) {
+        const char* c = s + 4 * i;
+        if (i + 1 < n && c[3] != '\t') return -1;
+        char a1 = c[0], sep = c[1], a2 = c[2];
+        unsigned phased;
+        if (sep == '|') phased = 1;
+        else if (sep == '/') phased = 0;
+        else return -1;
+        uint8_t x1, x2;
+        if (a1 == '.') x1 = 0;
+        else if (a1 >= '0' && a1 < '0' + n_allele) x1 = (uint8_t)((a1 - '0' + 1) << 1);
+        else return -1;
+        if (a2 == '.') x2 = (uint8_t)phased;
+        else if (a2 >= '0' && a2 < '0' + n_allele)
+            x2 = (uint8_t)(((a2 - '0' + 1) << 1) | phased);
+        else return -1;
+        out[2 * i] = x1;
+        out[2 * i + 1] = x2;
+    }
+    return n;
+}
+
+// Translate packed BCF GT bytes through an allele map into 2-bit genotype
+// codes (bcf_atom_gen_at's inner loop): c = (gt>>1)-1; c<0 -> 2 else tr[c].
+// Returns 1 if any code 3 (<M>) was produced.
+int32_t bgt_translate_gt(const uint8_t* gt, int64_t n, const uint8_t* tr,
+                         int32_t n_allele, uint8_t* codes) {
+    (void)n_allele;
+    int32_t has_multi = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int c = (gt[i] >> 1) - 1;
+        uint8_t v = c < 0 ? 2 : tr[c];
+        codes[i] = v;
+        has_multi |= (v == 3);
+    }
+    return has_multi;
+}
+
 const char* bgt_host_version(void) { return "bgt_host 0.1"; }
 
 }  // extern "C"
