@@ -14,3 +14,9 @@ A from-scratch reimplementation of the capabilities of lh3/bgt (reference at
 """
 
 __version__ = "0.1.0"
+
+
+def open(prefixes):  # noqa: A001
+    """Open one or more BGT databases for programmatic queries."""
+    from .api import Dataset
+    return Dataset(prefixes)
