@@ -258,6 +258,7 @@ def main_kexpr(argv, out=None, err=None) -> int:
     if errflag:
         print(f"Parse error: {errflag:#x}", file=err or sys.stderr)
         return 1
+    ke.set_default_func()  # reference kexpr.c:556
     if to_print:
         toks = []
         for e in ke.rpn:
@@ -277,6 +278,12 @@ def main_kexpr(argv, out=None, err=None) -> int:
             except ValueError:
                 ke.set_real(k, 0.0)
     errflag, i, r, s, t = ke.eval()
+    if errflag & kexpr.KEE_UNFUNC:
+        print("Evaluation warning: an undefined function returns the first "
+              "function argument.", file=err or sys.stderr)
+    if errflag & kexpr.KEE_UNVAR:
+        print("Evaluation warning: unassigned variables are set to 0.",
+              file=err or sys.stderr)
     if t == kexpr.KEV_INT:
         out.write(f"{i}\n")
     elif t == kexpr.KEV_REAL:

@@ -71,7 +71,7 @@ KEO_DIV = 7
 
 class Tok:
     __slots__ = ("ttype", "op", "prec", "n_args", "name", "vtype", "i", "r", "s",
-                 "assigned")
+                 "assigned", "func")
 
     def __init__(self):
         self.ttype = 0
@@ -84,6 +84,7 @@ class Tok:
         self.r = 0.0
         self.s = None
         self.assigned = False
+        self.func = None  # bound real-valued function (ke_set_real_func1/2)
 
 
 def _trunc(r: float) -> int:
@@ -248,6 +249,48 @@ class Kexpr:
             if e.ttype == _VAL and e.name is not None:
                 e.assigned = False
 
+    # --- function binding (ke_set_real_func1/2 + ke_set_default_func,
+    #     reference kexpr.c:472-506; bound only where the reference binds
+    #     them, i.e. the standalone kexpr CLI at kexpr.c:556) --------------
+
+    def set_real_func1(self, name: str, func) -> int:
+        n = 0
+        for e in self.rpn:
+            if e.ttype == _FUNC and e.n_args == 1 and e.name == name:
+                e.func = func
+                n += 1
+        return n
+
+    def set_real_func2(self, name: str, func) -> int:
+        n = 0
+        for e in self.rpn:
+            if e.ttype == _FUNC and e.n_args == 2 and e.name == name:
+                e.func = func
+                n += 1
+        return n
+
+    def set_default_func(self) -> int:
+        # numpy's float64 funcs follow C libm edge cases (log(0) = -inf,
+        # sqrt(-1) = nan, exp(1000) = inf) where python math raises
+        import numpy as np
+
+        def _f1(fn):
+            def g(x):
+                with np.errstate(all="ignore"):
+                    return float(fn(np.float64(x)))
+            return g
+
+        n = 0
+        for name in ("exp", "log", "log10", "sqrt", "sin", "cos", "tan"):
+            n += self.set_real_func1(name, _f1(getattr(np, name)))
+
+        def _pow(x, y):
+            with np.errstate(all="ignore"):
+                return float(np.power(np.float64(x), np.float64(y)))
+
+        n += self.set_real_func2("pow", _pow)
+        return n
+
     @property
     def var_names(self) -> set:
         return {e.name for e in self.rpn if e.ttype == _VAL and e.name}
@@ -258,7 +301,7 @@ class Kexpr:
         """Returns (err, i, r, s, vtype)."""
         err = 0
         for e in self.rpn:
-            if e.ttype == _FUNC and e.name not in ("abs",):
+            if e.ttype == _FUNC and e.func is None and e.name not in ("abs",):
                 err |= KEE_UNFUNC
             elif e.ttype == _VAL and e.name is not None and not e.assigned:
                 err |= KEE_UNVAR
@@ -272,7 +315,19 @@ class Kexpr:
                 else:
                     _apply1(e.op, stack[-1])
             elif e.ttype == _FUNC:
-                if e.name == "abs" and e.n_args == 1:
+                if e.func is not None and e.n_args in (1, 2):
+                    # user real funcs: p.r = f(...); p.i = (int64)(p.r + .5)
+                    # (reference kexpr.c:381-391)
+                    if e.n_args == 2:
+                        qv = stack.pop()
+                        pv = stack[-1]
+                        pv[2] = e.func(pv[2], qv[2])
+                    else:
+                        pv = stack[-1]
+                        pv[2] = e.func(pv[2])
+                    pv[1] = _trunc(pv[2])
+                    pv[0] = KEV_REAL
+                elif e.name == "abs" and e.n_args == 1:
                     pv = stack[-1]
                     if pv[0] == KEV_INT:
                         pv[1] = abs(pv[1])
@@ -321,6 +376,17 @@ class Kexpr:
                     if e.name == "abs" and e.n_args == 1:
                         tp, p = stack.pop()
                         stack.append((tp, xp.abs(p)))
+                    elif (e.func is not None and e.n_args == 1
+                          and e.name in _VEC_FUNCS1):
+                        _tp, p = stack.pop()
+                        stack.append((KEV_REAL,
+                                      getattr(xp, e.name)(xp.asarray(p, xp.float64))))
+                    elif (e.func is not None and e.n_args == 2
+                          and e.name == "pow"):
+                        _tq, q = stack.pop()
+                        _tp, p = stack.pop()
+                        stack.append((KEV_REAL,
+                                      xp.power(xp.asarray(p, xp.float64), q)))
                     else:
                         for _ in range(e.n_args - 1):
                             stack.pop()
@@ -419,6 +485,8 @@ def _apply1(op: int, p: list) -> None:
         p[2] = float(p[1])
         p[0] = KEV_INT
 
+
+_VEC_FUNCS1 = frozenset(("exp", "log", "log10", "sqrt", "sin", "cos", "tan"))
 
 _CMP = {
     14: lambda a, b: a < b,

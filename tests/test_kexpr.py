@@ -92,6 +92,91 @@ def test_variables_and_oracle(ref_kexpr):
         assert got == expect, f"{expr!r} {bind}: got {got} want {expect}"
 
 
+MATH_EXPRS = [
+    "sqrt(2)",
+    "sqrt(4)",
+    "exp(1)",
+    "exp(0)",
+    "log(2.718281828459045)",
+    "log(10)",
+    "log10(1000)",
+    "sin(1)",
+    "cos(1)",
+    "tan(0.5)",
+    "pow(2,10)",
+    "pow(2,0.5)",
+    "sqrt(2)+exp(1)*2",
+    "log(exp(3))",
+    "pow(sqrt(2),2)",
+    "abs(sin(3)-1)",
+]
+
+
+@pytest.mark.parametrize("expr", MATH_EXPRS)
+def test_default_math_funcs_match_oracle(expr, ref_kexpr):
+    """ke_set_default_func parity (reference kexpr.c:494-506, bound at :556)."""
+    res = subprocess.run([ref_kexpr, expr], capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    expect = res.stdout.strip()
+    ke, err = kexpr.parse(expr)
+    assert err == 0, f"parse error {err:#x} for {expr!r}"
+    n = ke.set_default_func()
+    assert n >= 1
+    err, i, r, s, t = ke.eval()
+    assert err == 0
+    got = str(i) if t == kexpr.KEV_INT else "%g" % r if t == kexpr.KEV_REAL else s
+    assert got == expect, f"{expr!r}: got {got} want {expect}"
+
+
+def test_math_funcs_cli_parity(ref_kexpr):
+    """Our `bgt kexpr` subcommand matches the reference standalone evaluator."""
+    import io
+
+    from bgt_tpu import cli
+
+    for expr in ["sqrt(2)", "pow(3,4)", "log10(50)+sin(2)"]:
+        res = subprocess.run([ref_kexpr, expr], capture_output=True, text=True)
+        out, errbuf = io.StringIO(), io.StringIO()
+        rc = cli.main_kexpr([expr], out=out, err=errbuf)
+        assert rc == 0
+        assert out.getvalue() == res.stdout, expr
+
+
+def test_undefined_func_warning(ref_kexpr):
+    """An unbound function returns its first argument with KEE_UNFUNC set
+    (reference kexpr.c:383-390 else-branch)."""
+    res = subprocess.run([ref_kexpr, "frob(7)"], capture_output=True, text=True)
+    expect = res.stdout.strip()
+    ke, err = kexpr.parse("frob(7)")
+    assert err == 0
+    ke.set_default_func()
+    err, i, r, s, t = ke.eval()
+    assert err & kexpr.KEE_UNFUNC
+    got = str(i) if t == kexpr.KEV_INT else "%g" % r if t == kexpr.KEV_REAL else s
+    assert got == expect
+
+
+def test_vector_math_funcs_match_scalar():
+    rng = np.random.default_rng(1)
+    n = 257
+    env = {"AC": rng.integers(1, 100, n), "AN": rng.integers(1, 200, n)}
+    for expr in ["sqrt(AC)", "log(AN)+exp(AC/AN)", "pow(AC,2)-AN",
+                 "log10(AN)>1.5", "sin(AC)*cos(AN)+tan(AC/AN)"]:
+        ke, err = kexpr.parse(expr)
+        assert err == 0
+        ke.set_default_func()
+        fn = ke.compile_vector(np)
+        t, vec = fn(env)
+        for j in range(0, n, 41):
+            ke2, _ = kexpr.parse(expr)
+            ke2.set_default_func()
+            for k, v in env.items():
+                ke2.set_int(k, int(v[j]))
+            err, i, r, s, ty = ke2.eval()
+            scalar = i if ty == kexpr.KEV_INT else r
+            assert np.isclose(float(vec[j]), float(scalar)), (expr, j)
+
+
 def test_unassigned_var_errors():
     ke, err = kexpr.parse("AC>0")
     assert err == 0
