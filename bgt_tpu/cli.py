@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import getopt
+import math
 import sys
 
 VERSION = "0.1.0 (bgt-compat 1.0-r284)"
@@ -287,7 +288,10 @@ def main_kexpr(argv, out=None, err=None) -> int:
     if t == kexpr.KEV_INT:
         out.write(f"{i}\n")
     elif t == kexpr.KEV_REAL:
-        out.write("%g\n" % r)
+        if r != r and math.copysign(1.0, r) < 0:
+            out.write("-nan\n")  # glibc %g prints the NaN sign bit
+        else:
+            out.write("%g\n" % r)
     else:
         out.write(f"{s}\n")
     return 0
