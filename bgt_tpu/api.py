@@ -129,7 +129,7 @@ class Dataset:
                 continue
             masks = ctx.masks(n_groups)
             rows_d = rows_per_db[d]
-            cd = ctx.counts_for(rows_d, masks, fv.sharding)
+            cd = ctx.counts_for(rows_d, masks, lambda: fv.sharding)
             pres = mv.pres[:, d]
             if len(fv.dbs) == 1:
                 counts += cd

@@ -427,6 +427,8 @@ class BcfHeader:
 
     # --- I/O ---------------------------------------------------------------
 
+    _FROM_TEXT_CACHE: dict = {}
+
     @classmethod
     def from_text(cls, text: str) -> "BcfHeader":
         """Build from plain content; models kstring buffers: NUL-terminated,
@@ -435,6 +437,19 @@ class BcfHeader:
         h.raw = text + "\x00"
         h.l_text = len(text) + 1
         h.parse()
+        return h
+
+    @classmethod
+    def from_text_cached(cls, text: str) -> "BcfHeader":
+        """Memoized ``from_text`` for headers that stay READ-ONLY after
+        construction (query output headers resynthesized per query in
+        engine.prepare).  Callers must never ``append`` to the result."""
+        h = cls._FROM_TEXT_CACHE.get(text)
+        if h is None:
+            h = cls.from_text(text)
+            if len(cls._FROM_TEXT_CACHE) >= 64:
+                cls._FROM_TEXT_CACHE.pop(next(iter(cls._FROM_TEXT_CACHE)))
+            cls._FROM_TEXT_CACHE[text] = h
         return h
 
     @classmethod

@@ -21,10 +21,34 @@ fuses it into a single pass as well).
 from __future__ import annotations
 
 import functools
+import os
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-compile (~1-2 min on TPU) is
+    paid once per machine, not once per process.  BGT_TPU_JAX_CACHE overrides
+    the location; set it to "off" to disable."""
+    loc = os.environ.get("BGT_TPU_JAX_CACHE")
+    if loc == "off":
+        return
+    if not loc:
+        loc = str(Path(__file__).resolve().parent.parent.parent
+                  / "build" / "jaxcache")
+    try:
+        Path(loc).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()
 
 
 @jax.jit

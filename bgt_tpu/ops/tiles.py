@@ -28,7 +28,8 @@ import numpy as np
 
 from ..formats.pbf import PbfReader
 
-MAGIC = b"GTC\x01"
+MAGIC_V1 = b"GTC\x01"
+MAGIC = b"GTC\x02"  # v2 appends the per-row all-columns code-count aggregate
 WORD_BITS = 32
 # column padding: keep the uint8 view a multiple of 128 lanes * 4 sublanes
 COL_ALIGN = 1024
@@ -41,12 +42,26 @@ def _pad_words(m: int) -> int:
 class TileStore:
     """In-memory (optionally disk-cached) packed genotype matrix."""
 
-    def __init__(self, n_rows: int, m: int, plane0: np.ndarray, plane1: np.ndarray):
+    def __init__(self, n_rows: int, m: int, plane0: np.ndarray, plane1: np.ndarray,
+                 rowstats: np.ndarray | None = None):
         self.n_rows = n_rows
         self.m = m  # real number of haplotype columns
         self.n_words = plane0.shape[1]
         self.plane0 = plane0
         self.plane1 = plane1
+        # (n_rows, 4) int32 counts of codes 0..3 over all m columns — the
+        # materialized aggregate behind all-samples AC/AN queries (the
+        # reference recounts per query, bgt.c:735-757)
+        self.rowstats = rowstats if rowstats is not None else self._calc_rowstats()
+
+    def _calc_rowstats(self) -> np.ndarray:
+        n10 = np.bitwise_count(self.plane0).sum(axis=1, dtype=np.int32)
+        n11 = np.bitwise_count(self.plane1).sum(axis=1, dtype=np.int32)
+        nb = np.bitwise_count(self.plane0 & self.plane1).sum(axis=1, dtype=np.int32)
+        cnt1 = n10 - nb
+        cnt2 = n11 - nb
+        cnt0 = np.int32(self.m) - cnt1 - cnt2 - nb
+        return np.stack([cnt0, cnt1, cnt2, nb], axis=1).astype(np.int32)
 
     # --- construction ------------------------------------------------------
 
@@ -102,17 +117,24 @@ class TileStore:
             fp.write(struct.pack("<qii", self.n_rows, self.m, self.n_words))
             fp.write(np.ascontiguousarray(self.plane0).tobytes())
             fp.write(np.ascontiguousarray(self.plane1).tobytes())
+            fp.write(np.ascontiguousarray(self.rowstats).tobytes())
 
     @classmethod
     def load(cls, path: str) -> "TileStore":
         with open(path, "rb") as fp:
-            if fp.read(4) != MAGIC:
+            magic = fp.read(4)
+            if magic not in (MAGIC, MAGIC_V1):
                 raise ValueError("not a GTC tile file")
             n_rows, m, n_words = struct.unpack("<qii", fp.read(16))
             data = np.fromfile(fp, dtype=np.uint32, count=2 * n_rows * n_words)
+            stats = None
+            if magic == MAGIC:
+                raw = np.fromfile(fp, dtype=np.int32, count=4 * n_rows)
+                if raw.size == 4 * n_rows:
+                    stats = raw.reshape(n_rows, 4)
         plane0 = data[: n_rows * n_words].reshape(n_rows, n_words)
         plane1 = data[n_rows * n_words:].reshape(n_rows, n_words)
-        return cls(n_rows, m, plane0, plane1)
+        return cls(n_rows, m, plane0, plane1, rowstats=stats)
 
     @classmethod
     def open_or_build(cls, prefix: str) -> "TileStore":
@@ -135,6 +157,15 @@ class TileStore:
         return ts
 
     # --- masks -------------------------------------------------------------
+
+    def all_mask(self) -> np.ndarray:
+        """(n_words,) uint32 mask covering all m real columns."""
+        mask = np.zeros(self.n_words, dtype=np.uint32)
+        full, rem = divmod(self.m, WORD_BITS)
+        mask[:full] = 0xFFFFFFFF
+        if rem:
+            mask[full] = (1 << rem) - 1
+        return mask
 
     def pack_mask(self, cols: np.ndarray) -> np.ndarray:
         """(n_words,) uint32 mask with the given haplotype columns set."""

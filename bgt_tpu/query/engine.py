@@ -184,10 +184,9 @@ class BgtReader:
         if raw and raw[-1] == "\x00":
             raw = raw[:-1]
         if self.n_out > 0:
-            raw += "\tFORMAT"
-            for i in self.out:
-                raw += "\t" + f.row_name(int(i))
-        self.h_out = bcflib.BcfHeader.from_text(raw)
+            raw = "".join([raw, "\tFORMAT"]
+                          + ["\t" + f.row_name(int(i)) for i in self.out])
+        self.h_out = bcflib.BcfHeader.from_text_cached(raw)
         cols = np.empty(self.n_out * 2, dtype=np.int64)
         cols[0::2] = self.out * 2
         cols[1::2] = self.out * 2 + 1
@@ -600,7 +599,7 @@ class BgtmReader:
                     m += 1
                     if keep:
                         t.append("\t" + g.f.f.row_name(int(g.out[j])))
-        self.h_out = bcflib.BcfHeader.from_text("".join(t))
+        self.h_out = bcflib.BcfHeader.from_text_cached("".join(t))
         self.a = [np.zeros(self.n_out * 2, np.uint8), np.zeros(self.n_out * 2, np.uint8)]
         if self.h_al is not None:
             if self.flag & F_CNT_AL:

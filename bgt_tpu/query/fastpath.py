@@ -99,6 +99,11 @@ class MergedSites:
 _SITE_CACHE: dict = {}
 _TILE_CACHE: dict = {}
 _DEVICE_CACHE: dict = {}
+# (db_key, masks bytes) -> full-range (n_rows, groups, 4) int32 host counts.
+# One device pass + one readback per distinct mask set per database; repeat
+# queries (server workloads, paging) then never touch the device.
+_COUNT_MEMO: dict = {}
+_COUNT_MEMO_BYTES = 512 << 20
 
 
 def _cache_key(bf: engine.BgtFile):
@@ -258,7 +263,11 @@ def get_shard_context() -> ShardContext | None:
     if os.environ.get("BGT_TPU_SHARD", "") == "0":
         return None
     import jax
-    if len(jax.devices()) < 2:
+    try:
+        n_dev = len(jax.devices())
+    except RuntimeError:  # no usable backend: queries stay host-side
+        return None
+    if n_dev < 2:
         return None
     _shard_ctx[0] = ShardContext()
     return _shard_ctx[0]
@@ -329,34 +338,58 @@ class _DbCtx:
         return cols
 
     def counts_for(self, rows: np.ndarray, masks: np.ndarray,
-                   sharding: ShardContext | None = None) -> np.ndarray:
-        """(len(rows), n_groups, 4) counts via the device kernel.
+                   sharding_cb=None) -> np.ndarray:
+        """(len(rows), n_groups, 4) counts.
 
-        The planes stay device-resident (sharded over the sample axis when a
-        mesh is active); the row range is sliced on device (bucketed static
-        lengths limit recompiles) and only the tiny count tensor is read
-        back.
+        Resolution order: (1) the materialized all-columns aggregate built at
+        tile time (rowstats — the all-samples AC/AN query is pure host); (2)
+        the per-mask count memo (one full-range device pass + readback per
+        distinct mask set per DB); (3) a device kernel over the row span
+        (planes device-resident, sharded over the sample axis when a mesh is
+        active); (4) streamed row chunks when tiles exceed the HBM budget.
+
+        ``sharding_cb``: zero-arg callable resolving the mesh context, only
+        invoked when a device pass is actually needed.
         """
         import jax.numpy as jnp
         if rows.size == 0:
             return np.zeros((0, masks.shape[0], 4), dtype=np.int32)
+        ts = self.ts
+        if (masks.shape[0] == 1 and ts.rowstats is not None
+                and masks[0].tobytes() == ts.all_mask().tobytes()):
+            return ts.rowstats[rows][:, None, :]
+        memo_key = (_cache_key(self.bf), masks.tobytes())
+        hit = _COUNT_MEMO.get(memo_key)
+        if hit is not None:
+            return hit[rows]
+        memo_ok = ts.n_rows * masks.shape[0] * 16 <= _COUNT_MEMO_BYTES
         start = int(rows[0])
         span = int(rows[-1]) + 1 - start
+        if memo_ok:
+            start, span = 0, ts.n_rows
+        sharding = sharding_cb() if sharding_cb is not None else None
         if sharding is not None:
             p0, p1, words, n_rows = sharding.planes(self)
             msk = sharding.put_masks(masks, words)
             length = _bucket(span, n_rows)
             start = min(start, n_rows - length)
-            counts = sharding.count_range(p0, p1, msk, start, length)
-            return np.asarray(counts)[rows - start]
-        dt = get_device_tiles(self.bf)
-        if dt is None:  # tiles exceed the HBM budget: stream row chunks
-            return stream_counts(self.ts, rows, masks)
-        length = _bucket(span, dt.n_rows)
-        start = min(start, dt.n_rows - length)
-        counts = counts_ops.count_codes_range(
-            dt.p0, dt.p1, jnp.asarray(masks), start, length)
-        return np.asarray(counts)[rows - start]
+            counts = np.asarray(sharding.count_range(p0, p1, msk, start, length))
+        else:
+            dt = get_device_tiles(self.bf)
+            if dt is None:  # tiles exceed the HBM budget: stream row chunks
+                return stream_counts(self.ts, rows, masks)
+            length = _bucket(span, dt.n_rows)
+            start = min(start, dt.n_rows - length)
+            counts = np.asarray(counts_ops.count_codes_range(
+                dt.p0, dt.p1, jnp.asarray(masks), start, length))
+        if memo_ok:
+            full = counts[:ts.n_rows]
+            while (sum(v.nbytes for v in _COUNT_MEMO.values()) + full.nbytes
+                   > _COUNT_MEMO_BYTES and _COUNT_MEMO):
+                _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
+            _COUNT_MEMO[memo_key] = full
+            return full[rows]
+        return counts[rows - start]
 
     def pairs_for(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
         """(len(rows), n_samples) uint8 GT cell indices (code0*4+code1).
@@ -379,9 +412,20 @@ class FastView:
         self.bm = bm
         self.opt = opt
         self.dbs = [_DbCtx(g, opt) for g in bm.bgt]
-        self.sharding = sharding if sharding is not None else get_shard_context()
-        for ctx in self.dbs:
-            ctx.sharding_active = self.sharding is not None
+        # device/mesh discovery is deferred until a query actually needs a
+        # device pass: rowstats- and memo-served queries must run (and the
+        # CLI must not fail) without a reachable accelerator
+        self._sharding = sharding
+        self._sharding_resolved = sharding is not None
+
+    @property
+    def sharding(self):
+        if not self._sharding_resolved:
+            self._sharding = get_shard_context()
+            self._sharding_resolved = True
+            for ctx in self.dbs:
+                ctx.sharding_active = self._sharding is not None
+        return self._sharding
 
     # --- merge -------------------------------------------------------------
 
@@ -497,7 +541,7 @@ class FastView:
             masks = ctx.masks(n_groups)
             rows_d = rows_per_db[d]
             with stage(f"device-counts[{d}]"):
-                cd = ctx.counts_for(rows_d, masks, self.sharding)
+                cd = ctx.counts_for(rows_d, masks, lambda: self.sharding)
             bm.n_gt_read += int(rows_d.size) * ctx.g.n_out
             pres = mv.pres[:, d]
             if len(self.dbs) == 1:

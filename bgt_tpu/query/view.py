@@ -39,6 +39,33 @@ def format_gt_fast(a0: np.ndarray, a1: np.ndarray, keep: np.ndarray | None) -> b
     return _CELL_LUT[idx].tobytes()
 
 
+_HANDLE_CACHE: dict = {}
+
+
+def _open_bgt(prefix: str) -> BgtFile:
+    """Shared read-only BgtFile handles, keyed on path+mtimes.
+
+    Mirrors the reference server's process-wide bgt_file_t sharing
+    (bgt-server.go:147-153): headers, CSI index, and .spl FMF are immutable
+    per database version, so repeated queries skip the reopen/reparse.
+    """
+    import os
+    path = os.path.abspath(prefix)
+
+    def mt(p):
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0
+
+    key = (path, mt(path + ".bcf"), mt(path + ".spl"), mt(path + ".bcf.csi"))
+    bf = _HANDLE_CACHE.get(key)
+    if bf is None:
+        bf = BgtFile(prefix)
+        _HANDLE_CACHE[key] = bf
+    return bf
+
+
 class ViewOptions:
     def __init__(self):
         self.out_bcf = False
@@ -84,7 +111,7 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
         print("[E::main_view] -a must be specified when -S/-H is in use.", file=err)
         return 1
 
-    bfiles = [BgtFile(p) for p in opt.prefixes]
+    bfiles = [_open_bgt(p) for p in opt.prefixes]
     bm = BgtmReader(bfiles)
     bm.set_flag(multi_flag)
     if opt.site_flt is not None and bm.set_flt_site(opt.site_flt) != 0:

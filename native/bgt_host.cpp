@@ -204,9 +204,13 @@ int bgt_pbf_writer_close(void* hv) {
 // One-shot PBF -> GTC (packed tile) conversion
 // ---------------------------------------------------------------------------
 
-// GTC layout (bgt_tpu/ops/tiles.py): "GTC\1" + int64 n_rows + int32 m +
+// GTC layout v2 (bgt_tpu/ops/tiles.py): "GTC\2" + int64 n_rows + int32 m +
 // int32 n_words; then plane0 rows then plane1 rows, uint32 LE words with
-// column j at word j>>5 bit j&31.
+// column j at word j>>5 bit j&31; then the materialized all-columns
+// aggregate: n_rows x 4 int32 genotype-code counts [cnt0,cnt1,cnt2,cnt3]
+// per row (the reference recomputes these per query, bgt.c:735-757; here
+// they are an index built once at tile time so the all-samples AC/AN query
+// never touches the genotype matrix again).
 int64_t bgt_gtc_from_pbf(const char* pbf_path, const char* gtc_path,
                          int32_t col_align) {
     FILE* in = fopen(pbf_path, "rb");
@@ -230,6 +234,7 @@ int64_t bgt_gtc_from_pbf(const char* pbf_path, const char* gtc_path,
     std::vector<uint8_t> rlebuf((size_t)m * 2 + 16);
     // accumulate planes in memory (row-major per plane)
     std::vector<std::vector<uint32_t>> plane_data(g);
+    std::vector<int32_t> stats;
     int64_t n_rows = 0;
     for (;;) {
         int t = fgetc(in);
@@ -250,6 +255,21 @@ int64_t bgt_gtc_from_pbf(const char* pbf_path, const char* gtc_path,
             planes[k]->decode_to_bits(rlebuf.data(), l,
                                       pd.data() + pd.size() - n_words);
         }
+        {
+            const uint32_t* r0 = plane_data[0].data() + (size_t)n_rows * n_words;
+            const uint32_t* r1 = plane_data[1].data() + (size_t)n_rows * n_words;
+            int32_t n10 = 0, n11 = 0, nb = 0;
+            for (int32_t w = 0; w < n_words; ++w) {
+                n10 += __builtin_popcount(r0[w]);
+                n11 += __builtin_popcount(r1[w]);
+                nb += __builtin_popcount(r0[w] & r1[w]);
+            }
+            int32_t cnt1 = n10 - nb, cnt2 = n11 - nb;
+            stats.push_back(m - cnt1 - cnt2 - nb);
+            stats.push_back(cnt1);
+            stats.push_back(cnt2);
+            stats.push_back(nb);
+        }
         ++n_rows;
     }
 done:
@@ -257,7 +277,7 @@ done:
     for (auto* pl : planes) delete pl;
     FILE* out = fopen(gtc_path, "wb");
     if (!out) return -4;
-    fwrite("GTC\1", 1, 4, out);
+    fwrite("GTC\2", 1, 4, out);
     fwrite(&n_rows, 8, 1, out);
     fwrite(&m, 4, 1, out);
     fwrite(&n_words, 4, 1, out);
@@ -266,6 +286,10 @@ done:
             fclose(out);
             return -5;
         }
+    if (!write_all(out, stats.data(), stats.size() * 4)) {
+        fclose(out);
+        return -5;
+    }
     if (fclose(out) != 0) return -6;
     return n_rows;
 }

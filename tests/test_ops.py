@@ -49,6 +49,38 @@ def test_tiles_from_pbf(tmp_path):
     assert np.array_equal(ts.codes(np.arange(50)), codes)
 
 
+def test_rowstats_aggregate(data, tmp_path):
+    """The materialized all-columns aggregate equals a full recount and
+    survives the GTC v2 round-trip (native and numpy builders agree)."""
+    codes, ts = data
+    want = ref_counts(codes, [np.arange(ts.m)])[:, 0, :]
+    assert np.array_equal(ts.rowstats, want)
+    # all_mask matches pack_mask over every column
+    assert np.array_equal(ts.all_mask(), ts.pack_mask(np.arange(ts.m)))
+    ts.save(str(tmp_path / "t.gtc"))
+    ts2 = TileStore.load(str(tmp_path / "t.gtc"))
+    assert np.array_equal(ts2.rowstats, want)
+
+
+def test_rowstats_native_vs_numpy(tmp_path):
+    from bgt_tpu import native
+    from bgt_tpu.formats.pbf import PbfWriter
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    codes = rng.choice(4, size=(70, 97), p=[0.6, 0.3, 0.05, 0.05]).astype(np.uint8)
+    w = PbfWriter(str(tmp_path / "t.pbf"), 97, 2, 4)
+    for row in codes:
+        w.write_row([row & 1, row >> 1])
+    w.close()
+    native.gtc_from_pbf(str(tmp_path / "t.pbf"), str(tmp_path / "t.gtc"))
+    ts_native = TileStore.load(str(tmp_path / "t.gtc"))
+    ts_np = TileStore.from_pbf(str(tmp_path / "t.pbf"))
+    assert np.array_equal(ts_native.rowstats, ts_np.rowstats)
+    assert np.array_equal(ts_native.rowstats,
+                          ref_counts(codes, [np.arange(97)])[:, 0, :])
+
+
 def test_count_codes(data):
     codes, ts = data
     rng = np.random.default_rng(2)
