@@ -63,6 +63,10 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64,                    # gt cols
         ctypes.c_char_p, ctypes.c_int64,                    # out buf
     ]
+    lib.bgt_emit_vcf_lines_mt.restype = ctypes.c_int64
+    lib.bgt_emit_vcf_lines_mt.argtypes = (
+        lib.bgt_emit_vcf_lines.argtypes
+        + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p])
     lib.bgt_parse_gt_cells.restype = ctypes.c_int64
     lib.bgt_parse_gt_cells.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                        ctypes.c_int32, ctypes.c_void_p]
@@ -122,12 +126,15 @@ def emit_vcf_lines(chrom_cat, chrom_off, chrom_len, pos1,
                    ref_cat, ref_off, ref_len, alt_cat, alt_off, alt_len,
                    n_allele, end_val, info_on, n_groups,
                    an, ac, ac_m, gan, gac, gac_m, cells,
-                   gt_planes=None) -> bytes:
-    """Native VCF line assembly; returns the concatenated line bytes.
+                   gt_planes=None, n_threads: int = 0):
+    """Native VCF line assembly; returns a list of byte chunks (uint8 array
+    views into a reusable buffer) whose concatenation is the output.
 
     ``cells``: prebuilt GT cell matrix (uint32 LUT entries), or None.
     ``gt_planes``: (p0_rows, p1_rows, cols) packed planes for the selected
     sites — GT text is generated inside the C call (preferred for dumps).
+    ``n_threads``: emission threads (0 = auto: 1 for small outputs, up to
+    ``os.cpu_count()`` for matrix dumps).
     """
     import numpy as np
     lib = get_lib()
@@ -172,11 +179,15 @@ def emit_vcf_lines(chrom_cat, chrom_off, chrom_len, pos1,
         gt_words = p0_rows.shape[1]
         n_pairs = cols32.size // 2
         gt_width = 4 * n_pairs
-    cap = int(arrs32[0].sum() + arrs32[1].sum() + arrs32[2].sum()
-              + n * (80 + (n_groups + 1) * 96 + gt_width + 8) + 1024)
-    buf = _emit_buffer(cap)
-    ret = lib.bgt_emit_vcf_lines(
-        n,
+    # per-line worst-case bound, mirrored from emit_range's `bound`
+    fixed = 64 + (n_groups + 1) * 96 + (gt_width + 3 if gt_width else 0) + 8
+    if n_threads <= 0:
+        import os as _os
+        est = int(arrs32[0].sum(dtype=np.int64) + arrs32[1].sum(dtype=np.int64)
+                  + arrs32[2].sum(dtype=np.int64)) + n * fixed
+        n_threads = 1 if est < (8 << 20) else min(_os.cpu_count() or 1, 16)
+    n_threads = max(1, min(int(n_threads), n if n else 1))
+    common_args = (
         chrom_cat, arrs[0].ctypes.data_as(ctypes.c_void_p),
         arrs32[0].ctypes.data_as(ctypes.c_void_p),
         arrs[1].ctypes.data_as(ctypes.c_void_p),
@@ -193,11 +204,37 @@ def emit_vcf_lines(chrom_cat, chrom_off, chrom_len, pos1,
         gptr[0], gptr[1], gptr[2],
         gt_bytes, gt_width,
         gp0, gp1, gt_words, gcols, n_pairs,
-        buf.ctypes.data_as(ctypes.c_char_p), cap,
     )
+    if n_threads == 1:
+        cap = int(arrs32[0].sum() + arrs32[1].sum() + arrs32[2].sum()
+                  + n * fixed + 1024)
+        buf = _emit_buffer(cap)
+        ret = lib.bgt_emit_vcf_lines(
+            n, *common_args, buf.ctypes.data_as(ctypes.c_char_p), cap)
+        if ret < 0:
+            raise OSError("emit buffer overflow")
+        return [buf[:ret]]  # zero-copy view, writable straight to a sink
+    # multithreaded: equal site ranges; per-chunk capacity from exact
+    # per-line bounds so no chunk can overflow
+    bounds = (arrs32[0].astype(np.int64) + arrs32[1] + arrs32[2] + fixed)
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(bounds, out=cum[1:])
+    chunk_bounds = np.linspace(0, n, n_threads + 1).astype(np.int64)
+    chunk_caps = cum[chunk_bounds[1:]] - cum[chunk_bounds[:-1]] + 1024
+    chunk_offs = np.zeros(n_threads, dtype=np.int64)
+    np.cumsum(chunk_caps[:-1], out=chunk_offs[1:])
+    cap = int(chunk_offs[-1] + chunk_caps[-1])
+    buf = _emit_buffer(cap)
+    chunk_lens = np.empty(n_threads, dtype=np.int64)
+    ret = lib.bgt_emit_vcf_lines_mt(
+        n, *common_args, buf.ctypes.data_as(ctypes.c_char_p), cap,
+        n_threads, chunk_bounds.ctypes.data_as(ctypes.c_void_p),
+        chunk_offs.ctypes.data_as(ctypes.c_void_p),
+        chunk_lens.ctypes.data_as(ctypes.c_void_p))
     if ret < 0:
         raise OSError("emit buffer overflow")
-    return buf[:ret]  # zero-copy view; writable straight to a binary sink
+    return [buf[int(chunk_offs[c]): int(chunk_offs[c] + chunk_lens[c])]
+            for c in range(n_threads)]
 
 
 class NativePbfWriter:

@@ -667,7 +667,13 @@ class FastView:
         if gt_planes_spec is not None:
             ctx, cols = gt_planes_spec
             rows = mv.pres[sel, 0]
-            gt_planes = (ctx.ts.plane0[rows], ctx.ts.plane1[rows], cols)
+            ts = ctx.ts
+            if (rows.size == ts.n_rows and rows.size
+                    and rows[0] == 0 and rows[-1] == ts.n_rows - 1):
+                # full dump: rows are the identity — no gather copy
+                gt_planes = (ts.plane0, ts.plane1, cols)
+            else:
+                gt_planes = (ts.plane0[rows], ts.plane1[rows], cols)
             gt_codes_fn = None
         elif gt_codes_fn is not None:
             blocks = []
@@ -692,7 +698,7 @@ class FastView:
             name_offs = np.zeros(len(names), dtype=np.int64)
             np.cumsum(name_lens[:-1], out=name_offs[1:])
             rid = mv.rid[sel]
-            data = native.emit_vcf_lines(
+            chunks = native.emit_vcf_lines(
                 name_cat, name_offs[rid], name_lens[rid],
                 (mv.pos[sel] + 1),
                 mv.ref_cat, mv.ref_off[sel], mv.ref_len[sel].astype(np.int32),
@@ -707,10 +713,12 @@ class FastView:
             raw = getattr(out, "buffer", None)
             if raw is not None:
                 out.flush()
-                raw.write(memoryview(data))
+                for data in chunks:
+                    raw.write(memoryview(data))
                 raw.flush()
             else:
-                out.write(data.tobytes().decode("latin-1"))
+                for data in chunks:
+                    out.write(data.tobytes().decode("latin-1"))
             return
 
         # ----- Python fallback -----

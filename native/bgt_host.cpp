@@ -13,6 +13,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -342,28 +343,60 @@ extern "C" {
 //    gt_cols listing 2*n_gt_pairs haplotype columns; cells are generated
 //    inline ("\t<c>/<c>" with code chars 0,1,.,2), which is the zero-copy
 //    path for full-matrix dumps.
-int64_t bgt_emit_vcf_lines(
-    int64_t n,
-    const char* chrom_bytes, const int64_t* chrom_off, const int32_t* chrom_len,
-    const int64_t* pos1,
-    const char* ref_bytes, const int64_t* ref_off, const int32_t* ref_len,
-    const char* alt_bytes, const int64_t* alt_off, const int32_t* alt_len,
-    const int32_t* n_allele, const int64_t* end_val,
-    int32_t info_on, int32_t n_groups,
-    const int64_t* an, const int64_t* ac, const int64_t* ac_m,
-    const int64_t* gan, const int64_t* gac, const int64_t* gac_m,  // n x G
-    const char* gt_cells, int64_t gt_width,
-    const uint32_t* gt_p0, const uint32_t* gt_p1, int64_t gt_words,
-    const int32_t* gt_cols, int64_t n_gt_pairs,
-    char* out_buf, int64_t out_cap) {
+namespace {
+
+struct EmitArgs {
+    const char* chrom_bytes; const int64_t* chrom_off; const int32_t* chrom_len;
+    const int64_t* pos1;
+    const char* ref_bytes; const int64_t* ref_off; const int32_t* ref_len;
+    const char* alt_bytes; const int64_t* alt_off; const int32_t* alt_len;
+    const int32_t* n_allele; const int64_t* end_val;
+    int32_t info_on; int32_t n_groups;
+    const int64_t* an; const int64_t* ac; const int64_t* ac_m;
+    const int64_t* gan; const int64_t* gac; const int64_t* gac_m;
+    const char* gt_cells; int64_t gt_width;
+    const uint32_t* gt_p0; const uint32_t* gt_p1; int64_t gt_words;
+    const int32_t* gt_cols; int64_t n_gt_pairs;
+};
+
+// emit sites [lo, hi) into out_buf (cap out_cap); returns bytes or -1
+int64_t emit_range(const EmitArgs& A, int64_t lo, int64_t hi,
+                   char* out_buf, int64_t out_cap) {
     static const char code_char[4] = {'0', '1', '.', '2'};
+    const char* chrom_bytes = A.chrom_bytes;
+    const int64_t* chrom_off = A.chrom_off;
+    const int32_t* chrom_len = A.chrom_len;
+    const int64_t* pos1 = A.pos1;
+    const char* ref_bytes = A.ref_bytes;
+    const int64_t* ref_off = A.ref_off;
+    const int32_t* ref_len = A.ref_len;
+    const char* alt_bytes = A.alt_bytes;
+    const int64_t* alt_off = A.alt_off;
+    const int32_t* alt_len = A.alt_len;
+    const int32_t* n_allele = A.n_allele;
+    const int64_t* end_val = A.end_val;
+    int32_t info_on = A.info_on;
+    int32_t n_groups = A.n_groups;
+    const int64_t* an = A.an;
+    const int64_t* ac = A.ac;
+    const int64_t* ac_m = A.ac_m;
+    const int64_t* gan = A.gan;
+    const int64_t* gac = A.gac;
+    const int64_t* gac_m = A.gac_m;
+    const char* gt_cells = A.gt_cells;
+    int64_t gt_width = A.gt_width;
+    const uint32_t* gt_p0 = A.gt_p0;
+    const uint32_t* gt_p1 = A.gt_p1;
+    int64_t gt_words = A.gt_words;
+    const int32_t* gt_cols = A.gt_cols;
+    int64_t n_gt_pairs = A.n_gt_pairs;
     if (gt_p0) gt_width = 4 * n_gt_pairs;
     char* p = out_buf;
     char* lim = out_buf + out_cap - 1;
-    for (int64_t i = 0; i < n; ++i) {
+    for (int64_t i = lo; i < hi; ++i) {
         // worst-case bound per line (numbers ~20B each)
         int64_t bound = chrom_len[i] + ref_len[i] + alt_len[i] + 64 +
-                        (int64_t)(n_groups + 1) * 96 + (gt_cells ? gt_width + 3 : 0);
+                        (int64_t)(n_groups + 1) * 96 + (gt_width ? gt_width + 3 : 0);
         if (p + bound > lim) return -1;
         p = put_mem(p, chrom_bytes + chrom_off[i], chrom_len[i]);
         *p++ = '\t';
@@ -431,6 +464,73 @@ int64_t bgt_emit_vcf_lines(
         *p++ = '\n';
     }
     return (int64_t)(p - out_buf);
+}
+
+}  // namespace
+
+int64_t bgt_emit_vcf_lines(
+    int64_t n,
+    const char* chrom_bytes, const int64_t* chrom_off, const int32_t* chrom_len,
+    const int64_t* pos1,
+    const char* ref_bytes, const int64_t* ref_off, const int32_t* ref_len,
+    const char* alt_bytes, const int64_t* alt_off, const int32_t* alt_len,
+    const int32_t* n_allele, const int64_t* end_val,
+    int32_t info_on, int32_t n_groups,
+    const int64_t* an, const int64_t* ac, const int64_t* ac_m,
+    const int64_t* gan, const int64_t* gac, const int64_t* gac_m,  // n x G
+    const char* gt_cells, int64_t gt_width,
+    const uint32_t* gt_p0, const uint32_t* gt_p1, int64_t gt_words,
+    const int32_t* gt_cols, int64_t n_gt_pairs,
+    char* out_buf, int64_t out_cap) {
+    EmitArgs A{chrom_bytes, chrom_off, chrom_len, pos1,
+               ref_bytes, ref_off, ref_len, alt_bytes, alt_off, alt_len,
+               n_allele, end_val, info_on, n_groups, an, ac, ac_m,
+               gan, gac, gac_m, gt_cells, gt_width,
+               gt_p0, gt_p1, gt_words, gt_cols, n_gt_pairs};
+    return emit_range(A, 0, n, out_buf, out_cap);
+}
+
+// Multithreaded variant: sites are split at chunk_bounds[0..n_chunks] and
+// chunk c is emitted at out_buf + chunk_offs[c] (capacity = next offset or
+// out_cap); chunk_lens[c] receives the bytes written (-1 on overflow).
+// Returns 0, or -1 if any chunk overflowed.  The caller concatenates the
+// chunk slices (scatter-gather) — no compaction pass over the ~GB output.
+int64_t bgt_emit_vcf_lines_mt(
+    int64_t n,
+    const char* chrom_bytes, const int64_t* chrom_off, const int32_t* chrom_len,
+    const int64_t* pos1,
+    const char* ref_bytes, const int64_t* ref_off, const int32_t* ref_len,
+    const char* alt_bytes, const int64_t* alt_off, const int32_t* alt_len,
+    const int32_t* n_allele, const int64_t* end_val,
+    int32_t info_on, int32_t n_groups,
+    const int64_t* an, const int64_t* ac, const int64_t* ac_m,
+    const int64_t* gan, const int64_t* gac, const int64_t* gac_m,
+    const char* gt_cells, int64_t gt_width,
+    const uint32_t* gt_p0, const uint32_t* gt_p1, int64_t gt_words,
+    const int32_t* gt_cols, int64_t n_gt_pairs,
+    char* out_buf, int64_t out_cap,
+    int32_t n_chunks, const int64_t* chunk_bounds, const int64_t* chunk_offs,
+    int64_t* chunk_lens) {
+    EmitArgs A{chrom_bytes, chrom_off, chrom_len, pos1,
+               ref_bytes, ref_off, ref_len, alt_bytes, alt_off, alt_len,
+               n_allele, end_val, info_on, n_groups, an, ac, ac_m,
+               gan, gac, gac_m, gt_cells, gt_width,
+               gt_p0, gt_p1, gt_words, gt_cols, n_gt_pairs};
+    (void)n;
+    std::vector<std::thread> workers;
+    workers.reserve(n_chunks);
+    for (int32_t c = 0; c < n_chunks; ++c) {
+        int64_t cap = (c + 1 < n_chunks ? chunk_offs[c + 1] : out_cap)
+                      - chunk_offs[c];
+        workers.emplace_back([&, c, cap]() {
+            chunk_lens[c] = emit_range(A, chunk_bounds[c], chunk_bounds[c + 1],
+                                       out_buf + chunk_offs[c], cap);
+        });
+    }
+    for (auto& t : workers) t.join();
+    for (int32_t c = 0; c < n_chunks; ++c)
+        if (chunk_lens[c] < 0) return -1;
+    return 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -7,6 +7,6 @@ mkdir -p "$OUT"
 SRC="$DIR/native/bgt_host.cpp"
 SO="$OUT/libbgt_host.so"
 if [ ! -e "$SO" ] || [ "$SRC" -nt "$SO" ]; then
-    g++ -O3 -march=native -shared -fPIC -o "$SO" "$SRC"
+    g++ -O3 -march=native -shared -fPIC -pthread -o "$SO" "$SRC"
     echo "built $SO"
 fi
