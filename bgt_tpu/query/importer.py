@@ -71,24 +71,62 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
     out = BgzfWriter(f"{prefix}.bcf", clevel)
     h0.write_bcf(out)
 
+    # The PBWT encode runs on a worker thread consuming row batches: the
+    # ctypes call releases the GIL, so parsing/atomizing the next records
+    # overlaps encoding (the reference is strictly sequential, import.c:92-103)
+    import queue
+    import threading
+
+    batch_rows = 256
+    q: queue.Queue = queue.Queue(maxsize=4)
+    worker_err: list = []
+
+    def encode_worker():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                if isinstance(pbf, PbfWriter):
+                    for row in item:
+                        pbf.write_row([row & 1, row >> 1])
+                else:
+                    pbf.write_codes(item)
+            except Exception as e:  # noqa: BLE001 - re-raised on main thread
+                worker_err.append(e)
+                return
+
+    wt = threading.Thread(target=encode_worker, daemon=True)
+    wt.start()
+
     n = 0
     b = bcflib.Bcf1()
-    for j, fn in enumerate(inputs):
-        if j > 0:
-            src = files.open_vcf(fn, is_vcf)
-            ab = AtomBuffer(src.header, src, keep_filtered)
-        for a in ab:
-            atom_to_bcf(a, b, write_m=True, id_gt=-1)
-            b.append_info_ints(h0, "_row", [n])
-            codes = np.asarray(a.gt, dtype=np.uint8)
-            if isinstance(pbf, PbfWriter):
-                pbf.write_row([codes & 1, codes >> 1])
-            else:
-                pbf.write_codes(codes)
-            b.n_sample = 0  # bcf_subset(h0, b, 0, 0)
-            b.indiv = bytearray()
-            b.write(out)
-            n += 1
+    pend: list = []
+    try:
+        for j, fn in enumerate(inputs):
+            if j > 0:
+                src = files.open_vcf(fn, is_vcf)
+                ab = AtomBuffer(src.header, src, keep_filtered)
+            for a in ab:
+                atom_to_bcf(a, b, write_m=True, id_gt=-1)
+                b.append_info_ints(h0, "_row", [n])
+                pend.append(np.asarray(a.gt, dtype=np.uint8))
+                if len(pend) >= batch_rows:
+                    if worker_err:
+                        raise worker_err[0]
+                    q.put(np.vstack(pend))
+                    pend = []
+                b.n_sample = 0  # bcf_subset(h0, b, 0, 0)
+                b.indiv = bytearray()
+                b.write(out)
+                n += 1
+    finally:
+        if pend and not worker_err:
+            q.put(np.vstack(pend))
+        q.put(None)
+        wt.join()
+    if worker_err:
+        raise worker_err[0]
     out.close()
     pbf.close()
     build_bcf_index(f"{prefix}.bcf", 14)
