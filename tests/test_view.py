@@ -105,6 +105,46 @@ def test_view_alleles_parity(db, ref_bgt):
         assert ours == ref.stdout.decode()
 
 
+def _make_anno_fmf(db, ref_bgt) -> None:
+    """Synthetic variant annotation DB: impact/csq columns per allele key."""
+    if (db / "anno.fmf").exists():
+        return
+    res = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=db, capture_output=True)
+    assert res.returncode == 0
+    keys = res.stdout.decode().splitlines()
+    impacts = ["HIGH", "LOW", "MODERATE"]
+    lines = []
+    for i, k in enumerate(keys):
+        lines.append(f"{k}\timpact:Z:{impacts[i % 3]}\tcsq_n:i:{i % 5}")
+    (db / "anno.fmf").write_text("\n".join(lines) + "\n")
+
+
+def test_annotation_join_parity(db, ref_bgt):
+    """The fifth test.sh anchor: -d variant-FMF + -a kexpr over it
+    (reference bgt.c:477-512, test.sh:35), streaming and -M in-memory."""
+    _make_anno_fmf(db, ref_bgt)
+    for expr in ['impact=="HIGH"', 'impact=="HIGH"||csq_n>3']:
+        for mode in (["-CG"], ["-C"], ["-M", "-CG"]):
+            ref = subprocess.run(
+                [ref_bgt, "view", "-d", "anno.fmf", "-a" + expr] + mode + ["refdb"],
+                cwd=db, capture_output=True)
+            assert ref.returncode == 0, ref.stderr.decode()
+            ours = run_ours(["-d", "anno.fmf", "-a" + expr] + mode, db)
+            assert ours == ref.stdout.decode(), (expr, mode)
+
+
+def test_annotation_join_S_H_parity(db, ref_bgt):
+    """-d vardb feeding the -S carrier and -H haplotype counters."""
+    _make_anno_fmf(db, ref_bgt)
+    for mode in (["-S"], ["-H"]):
+        ref = subprocess.run(
+            [ref_bgt, "view", "-d", "anno.fmf", "-a", 'csq_n==1'] + mode + ["refdb"],
+            cwd=db, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        ours = run_ours(["-d", "anno.fmf", "-a", 'csq_n==1'] + mode, db)
+        assert ours == ref.stdout.decode(), mode
+
+
 def test_getalt_parity(db, ref_bgt):
     ref = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=db, capture_output=True)
     buf = io.StringIO()
