@@ -108,17 +108,20 @@ def translate_gt(gt_packed, tr) -> tuple:
     return codes, bool(hm)
 
 
-_EMIT_BUF = [None]
+import threading as _threading
+
+_EMIT_BUF = _threading.local()
 
 
 def _emit_buffer(cap: int):
     """Reusable grow-only output buffer (page faults on fresh GB-sized
-    allocations dominate emission cost otherwise)."""
+    allocations dominate emission cost otherwise).  Thread-local: concurrent
+    server queries each emit into their own buffer."""
     import numpy as np
-    buf = _EMIT_BUF[0]
+    buf = getattr(_EMIT_BUF, "buf", None)
     if buf is None or buf.size < cap:
         buf = np.empty(int(cap * 1.2), dtype=np.uint8)
-        _EMIT_BUF[0] = buf
+        _EMIT_BUF.buf = buf
     return buf
 
 

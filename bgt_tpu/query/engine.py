@@ -401,6 +401,7 @@ class BgtmReader:
         self.n_groups = 0
         self.mgs_def = 0
         self.n_gt_read = 0
+        self.truncated = False  # set by the server fastpath quota cut
         self.site_flt: kexpr.Kexpr | None = None
         self.h_out: bcflib.BcfHeader | None = None
         self.a = [None, None]  # merged haplotype planes

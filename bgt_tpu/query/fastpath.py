@@ -597,6 +597,11 @@ class FastView:
         sel = np.nonzero(pass_mask)[0]
         if n_rec is not None and sel.size > n_rec:
             sel = sel[:n_rec]
+        max_gt = getattr(opt, "max_gt", None)
+        srv_max_read = getattr(opt, "srv_max_read", None)
+        if max_gt is not None or srv_max_read is not None:
+            sel, bm.truncated = self._truncate_server(mv, sel, max_gt,
+                                                      srv_max_read)
         if sel.size == 0:
             return
 
@@ -761,6 +766,48 @@ class FastView:
             ap(line)
         ap("")
         out.write("\n".join(parts))
+
+    def _truncate_server(self, mv: MergedSites, sel: np.ndarray,
+                         max_gt: int | None, max_read: int | None):
+        """Server-loop truncation (reference bgt-server.go:330-352), exactly
+        mirroring the general path's n_gt_read accounting (engine.read_core:
+        per merged-site read, every DB with records remaining adds n_out;
+        filter-failed sites are read and counted too).
+
+        Returns (sel_emitted, marker): the passing sites the reference loop
+        would emit before hitting either quota, and whether the trailing
+        ``*`` truncation marker is due.
+        """
+        n = mv.n
+        g = np.zeros(n, dtype=np.int64)
+        for d, ctx in enumerate(self.dbs):
+            if ctx.g.n_out == 0:
+                continue
+            idx = np.nonzero(mv.pres[:, d] >= 0)[0]
+            if idx.size:
+                g[: int(idx[-1]) + 1] += ctx.g.n_out
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(g, out=cum[1:])  # cum[i+1] = gt read after sites 0..i
+        e = sel.size
+        limit_n = e if max_read is None else min(e, max_read + 1)
+        if max_gt is not None and e:
+            # before emitting passing site k (0-based), the loop has read
+            # through merged index sel[k-1]; it breaks when that count
+            # exceeds max_gt
+            before = np.concatenate([[0], cum[sel[:-1] + 1]])
+            exceed = np.nonzero(before > max_gt)[0]
+            k_gt = e if exceed.size == 0 else int(exceed[0])
+        else:
+            k_gt = e
+        k = min(limit_n, k_gt)
+        if k < e:
+            return sel[:k], True
+        # everything passing was emitted; the loop then drains trailing
+        # filtered sites to EOF, so the final check sees the full-stream
+        # gt count and the post-loop n_read
+        marker = (max_read is not None and e > max_read) or \
+            (max_gt is not None and cum[n] > max_gt)
+        return sel, marker
 
     def _site_info(self, i: int, counts: np.ndarray) -> engine.SiteInfo:
         ss = engine.SiteInfo()

@@ -74,8 +74,40 @@ def help_text(cfg: ServerConfig, host: str) -> str:
     return "\n".join(out) + "\n"
 
 
-def run_query(cfg: ServerConfig, form: dict) -> tuple[int, str]:
-    """Execute one request; returns (http_status, body)."""
+class _ChunkWriter:
+    """Text-IO-shaped sink collecting byte chunks (fastpath writes both text
+    and raw chunk views through ``.buffer``)."""
+
+    def __init__(self):
+        self.chunks: list[bytes] = []
+        outer = self
+
+        class _B:
+            def write(self, data):
+                outer.chunks.append(bytes(data))
+                return len(data)
+
+            def flush(self):
+                pass
+
+        self.buffer = _B()
+
+    def write(self, s: str) -> int:
+        self.chunks.append(s.encode("latin-1"))
+        return len(s)
+
+    def flush(self) -> None:
+        pass
+
+
+def run_query(cfg: ServerConfig, form: dict):
+    """Execute one request; returns (http_status, chunk iterator).
+
+    VCF/table queries without allele sets run on the batched device engine
+    (fastpath), with the genotype quota applied as a site cutoff before
+    emission; everything else takes the per-site general path, streaming
+    each record as a chunk (reference bgt-server.go:330-352).
+    """
     flag = F_NO_GT
     max_read = 2147483647
     vcf_out = True
@@ -93,20 +125,22 @@ def run_query(cfg: ServerConfig, form: dict) -> tuple[int, str]:
         bm.set_flag(flag)
         if flag & (F_CNT_AL | F_CNT_HAP):
             vcf_out = False
+        seekn = -1
         if "f" in form:
             if bm.set_flt_site(_replace_op(form["f"][0])) != 0:
-                return 400, "400 Bad Request: failed to parse parameter 'f'\n"
+                return 400, iter(["400 Bad Request: failed to parse parameter 'f'\n"])
         if "r" in form:
             if bm.set_region(form["r"][0]) < 0:
-                return 400, "400 Bad Request: failed to set region with parameter 'r'\n"
+                return 400, iter(["400 Bad Request: failed to set region with parameter 'r'\n"])
         if "i" in form:
             try:
                 i = int(form["i"][0])
             except ValueError:
                 i = 0
             if i < 1:
-                return 400, "400 Bad Request: failed to set start with parameter 'i'\n"
+                return 400, iter(["400 Bad Request: failed to set start with parameter 'i'\n"])
             bm.set_start(i)
+            seekn = i - 1
         if "n" in form:
             try:
                 max_read = int(form["n"][0])
@@ -115,48 +149,79 @@ def run_query(cfg: ServerConfig, form: dict) -> tuple[int, str]:
         if "t" in form:
             vcf_out = False
             if bm.set_table(form["t"][0]) < 0:
-                return 400, "400 Bad Request: failed to parse tabular format with parameter 't'\n"
+                return 400, iter(["400 Bad Request: failed to parse tabular format with parameter 't'\n"])
         if "a" in form:
             n_al = bm.set_alleles(_replace_op(form["a"][0]), cfg.vardb, None)
             if n_al < 0:
-                return 400, "400 Bad Request: failed to retrieve alleles with parameter 'a'\n"
+                return 400, iter(["400 Bad Request: failed to retrieve alleles with parameter 'a'\n"])
             if n_al == 0:
-                return 204, "204 No Content: no alleles matching parameter 'a'\n"
+                return 204, iter(["204 No Content: no alleles matching parameter 'a'\n"])
         if "s" in form:
             for s in form["s"]:
                 if bm.add_group(_replace_op(s)) < 0:
-                    return 400, "400 Bad Request: failed to set sample group with parameter 's'\n"
+                    return 400, iter(["400 Bad Request: failed to set sample group with parameter 's'\n"])
         bm.prepare()
         if not bm.test_mgs():
-            return 403, ("403 Forbidden: genotype summary can't be computed "
-                         "for small sample groups\n")
-
-        out = []
-        if vcf_out:
-            out.append(bm.h_out.text + "\n")
-        b = bcflib.Bcf1()
-        n_read = 0
-        while True:
-            if n_read > max_read or bm.n_gt_read > cfg.max_gt:
-                break
-            ret = bm.read(b)
-            if ret < 0:
-                break
-            if vcf_out:
-                out.append(bcflib.vcf_format1(bm.h_out, b) + "\n")
-            elif bm.fields:
-                out.append(bm.tbl_line + "\n")
-            n_read += 1
-        if not vcf_out and len(bm.aal) > 0:
-            if flag & F_CNT_HAP:
-                out.append(bm.hapcnt_print())
-            if flag & F_CNT_AL:
-                out.append(bm.alcnt_print())
-        if n_read > max_read or bm.n_gt_read > cfg.max_gt:
-            out.append("*\n")
-        return 200, "".join(out)
-    finally:
+            return 403, iter(["403 Forbidden: genotype summary can't be computed "
+                              "for small sample groups\n"])
+    except Exception:
         bm.close()
+        raise
+
+    # batched path: VCF and table output without allele sets / -S / -H
+    from ..query import fastpath
+    if bm.h_al is None and not flag & (F_CNT_AL | F_CNT_HAP):
+        class _Opt:
+            pass
+
+        opt = _Opt()
+        opt.n_rec = None
+        opt.seekn = seekn
+        opt.max_gt = cfg.max_gt
+        opt.srv_max_read = max_read
+
+        def gen_fast():
+            try:
+                if vcf_out:
+                    yield (bm.h_out.text + "\n").encode("latin-1")
+                w = _ChunkWriter()
+                fastpath.FastView(bm, opt).run(w)
+                yield from w.chunks
+                if bm.truncated:
+                    yield b"*\n"
+            finally:
+                bm.close()
+
+        return 200, gen_fast()
+
+    def gen_general():
+        try:
+            if vcf_out:
+                yield (bm.h_out.text + "\n").encode("latin-1")
+            b = bcflib.Bcf1()
+            n_read = 0
+            while True:
+                if n_read > max_read or bm.n_gt_read > cfg.max_gt:
+                    break
+                ret = bm.read(b)
+                if ret < 0:
+                    break
+                if vcf_out:
+                    yield (bcflib.vcf_format1(bm.h_out, b) + "\n").encode("latin-1")
+                elif bm.fields:
+                    yield (bm.tbl_line + "\n").encode("latin-1")
+                n_read += 1
+            if not vcf_out and len(bm.aal) > 0:
+                if flag & F_CNT_HAP:
+                    yield bm.hapcnt_print().encode("latin-1")
+                if flag & F_CNT_AL:
+                    yield bm.alcnt_print().encode("latin-1")
+            if n_read > max_read or bm.n_gt_read > cfg.max_gt:
+                yield b"*\n"
+        finally:
+            bm.close()
+
+    return 200, gen_general()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -175,13 +240,40 @@ class _Handler(BaseHTTPRequestHandler):
             form.setdefault(k, []).append(v)
         if not form:
             body = help_text(self.cfg, self.headers.get("Host", "localhost"))
-            status = 200
-        else:
+            self._send_whole(200, body.encode("latin-1", errors="replace"))
+            return
+        try:
+            status, chunks = run_query(self.cfg, form)
+        except Exception as e:  # noqa: BLE001
+            self._send_whole(500, f"500 Internal Server Error: {e}\n".encode())
+            return
+        # stream the body with chunked transfer encoding: records flow as
+        # they are produced and GB-scale dumps never buffer whole
+        # (reference bgt-server.go:330-352 streams per record)
+        self.send_response(status)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
             try:
-                status, body = run_query(self.cfg, form)
-            except Exception as e:  # noqa: BLE001
-                status, body = 500, f"500 Internal Server Error: {e}\n"
-        data = body.encode("latin-1", errors="replace")
+                for data in chunks:
+                    if isinstance(data, str):
+                        data = data.encode("latin-1", errors="replace")
+                    if not data:
+                        continue
+                    self.wfile.write(b"%x\r\n" % len(data))
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+            except Exception as e:  # noqa: BLE001 - headers already sent
+                msg = f"\n500 Internal Server Error: {e}\n".encode()
+                self.wfile.write(b"%x\r\n" % len(msg))
+                self.wfile.write(msg)
+                self.wfile.write(b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except BrokenPipeError:
+            pass
+
+    def _send_whole(self, status: int, data: bytes) -> None:
         self.send_response(status)
         self.send_header("Content-Type", "text/plain; charset=utf-8")
         self.send_header("Content-Length", str(len(data)))

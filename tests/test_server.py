@@ -158,6 +158,91 @@ def test_mgs_forbidden(served_db):
         cfg.min_group = old
 
 
+def _general_path_body(cfg, form, max_read, max_gt):
+    """Independent replica of the per-site server loop (bgt-server.go:330-352)
+    to pin the fastpath's quota-cutoff semantics."""
+    from bgt_tpu.formats import bcf as bcflib
+    from bgt_tpu.query.engine import BgtmReader, F_NO_GT, F_SET_AC
+    bm = BgtmReader(cfg.files)
+    bm.set_flag(F_NO_GT | F_SET_AC)
+    if "f" in form:
+        bm.set_flt_site(form["f"])
+    if "r" in form:
+        bm.set_region(form["r"])
+    bm.prepare()
+    out = [bm.h_out.text + "\n"]
+    b = bcflib.Bcf1()
+    n_read = 0
+    while True:
+        if n_read > max_read or bm.n_gt_read > max_gt:
+            break
+        if bm.read(b) < 0:
+            break
+        out.append(bcflib.vcf_format1(bm.h_out, b) + "\n")
+        n_read += 1
+    if n_read > max_read or bm.n_gt_read > max_gt:
+        out.append("*\n")
+    bm.close()
+    return "".join(out)
+
+
+@pytest.mark.parametrize("max_gt", [1, 12, 100, 101, 1200, 1201, 1440, 10**9])
+def test_quota_cutoff_matches_general_path(served_db, max_gt):
+    """The fastpath site cutoff reproduces the general loop byte-for-byte
+    for any quota value (12 samples -> 12 gt per site read)."""
+    tmp, port, cfg = served_db
+    old = cfg.max_gt
+    cfg.max_gt = max_gt
+    try:
+        status, body = fetch(port, "?C=")
+        assert status == 200
+        assert body == _general_path_body(cfg, {}, 2147483647, max_gt)
+        # with a site filter: failed sites are read (and counted) too
+        status, body = fetch(port, "?C=&f=AC>3")
+        assert status == 200
+        assert body == _general_path_body(cfg, {"f": "AC>3"}, 2147483647, max_gt)
+    finally:
+        cfg.max_gt = old
+
+
+def test_vardb_allele_expression(served_db, ref_bgt):
+    """a=EXPR over the server's -d variant annotation FMF
+    (reference bgt-server.go:296-307 -> bgtm_set_alleles vardb source)."""
+    import subprocess as sp
+    import urllib.parse
+    tmp, port, cfg = served_db
+    res = sp.run([ref_bgt, "getalt", str(tmp / "db")], capture_output=True)
+    keys = res.stdout.decode().splitlines()
+    lines = [f"{k}\timpact:Z:{'HIGH' if i % 4 == 0 else 'LOW'}"
+             for i, k in enumerate(keys)]
+    (tmp / "anno.fmf").write_text("\n".join(lines) + "\n")
+    from bgt_tpu.formats.fmf import Fmf
+    old = cfg.vardb
+    cfg.vardb = Fmf.read(str(tmp / "anno.fmf"))
+    try:
+        q = "?a=" + urllib.parse.quote('impact=="HIGH"') + "&C="
+        status, body = fetch(port, q)
+        assert status == 200
+        want = view_cli(tmp, ["-G", "-C", "-M", "-d", "anno.fmf",
+                              "-a", 'impact=="HIGH"'])
+        assert body == want
+        # no matching alleles -> 204
+        q = "?a=" + urllib.parse.quote('impact=="NONE"') + "&C="
+        status, body = fetch(port, q)
+        assert status == 204
+    finally:
+        cfg.vardb = old
+
+
+def test_genotype_dump_fastpath_stream(served_db):
+    """Full-genotype server response (chunked) matches the CLI bytes."""
+    tmp, port, cfg = served_db
+    status, body = fetch(port, "?g=&C=&r=11:1-500000")
+    assert status == 200
+    want = view_cli(tmp, ["-C", "-r", "11:1-500000"])
+    assert body == want
+
+
 def test_concurrent_queries(served_db):
     tmp, port, cfg = served_db
     results = []
