@@ -64,28 +64,29 @@ def local_column_range(n_words: int, mesh: jax.sharding.Mesh) -> tuple[int, int]
     return local_ids[0] * per_dev, (local_ids[-1] + 1) * per_dev
 
 
-def place_local_planes(mesh: jax.sharding.Mesh, plane0: np.ndarray,
-                       plane1: np.ndarray):
-    """Build global sharded arrays from this host's column slice.
+def place_local(mesh: jax.sharding.Mesh, local: np.ndarray):
+    """Build a global column-sharded array from this host's column slice.
 
-    ``plane0/plane1`` hold only the local word-column range (as returned by
-    :func:`local_column_range`); the result behaves like the full global
-    array for `shard_map` calls.
+    ``local`` holds only the local word-column range of a 2-D array (as
+    returned by :func:`local_column_range`); the result behaves like the
+    full global array for `shard_map` calls.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sh = NamedSharding(mesh, P(None, meshlib.SAMPLE_AXIS))
-    n_dev_local = len(jax.local_devices())
-    per_dev = plane0.shape[1] // n_dev_local
-    rows = plane0.shape[0]
+    local_devs = sorted(jax.local_devices(), key=lambda d: d.id)
+    per_dev = local.shape[1] // len(local_devs)
     n_dev = mesh.devices.size
-    global_shape = (rows, per_dev * n_dev)
+    global_shape = (local.shape[0], per_dev * n_dev)
+    shards = [
+        jax.device_put(np.ascontiguousarray(
+            local[:, i * per_dev: (i + 1) * per_dev]), d)
+        for i, d in enumerate(local_devs)
+    ]
+    return jax.make_array_from_single_device_arrays(global_shape, sh, shards)
 
-    def build(plane):
-        shards = []
-        for i, d in enumerate(sorted(jax.local_devices(), key=lambda d: d.id)):
-            shards.append(jax.device_put(
-                plane[:, i * per_dev: (i + 1) * per_dev], d))
-        return jax.make_array_from_single_device_arrays(global_shape, sh, shards)
 
-    return build(plane0), build(plane1)
+def place_local_planes(mesh: jax.sharding.Mesh, plane0: np.ndarray,
+                       plane1: np.ndarray):
+    """Two-plane convenience wrapper over :func:`place_local`."""
+    return place_local(mesh, plane0), place_local(mesh, plane1)

@@ -212,44 +212,54 @@ class ShardContext:
     BGT_TPU_SHARD=0 to force single-device execution).  Per database the
     padded planes are placed across the mesh once; each query ships only its
     small mask tensor and reads back the count tensor (psum-merged).
+
+    Multi-host (``jax.process_count() > 1`` after ``jax.distributed``
+    initialization): the mesh spans every process's devices; each host
+    places only its own word-column slice of the planes
+    (distributed.place_local), counts psum globally, and every host reads
+    back the replicated count tensor — the TPU generalization of the
+    reference's per-sub-cohort database composition (bgt.c:829-842).
     """
 
     def __init__(self):
-        from ..parallel import mesh as meshlib
+        import jax
+        from ..parallel import distributed, mesh as meshlib
         self.meshlib = meshlib
-        self.mesh = meshlib.make_mesh()
+        self.distributed = distributed
+        self.multi_process = jax.process_count() > 1
+        self.mesh = (distributed.global_mesh() if self.multi_process
+                     else meshlib.make_mesh())
         self.n_dev = self.mesh.devices.size
         self.count_range = meshlib.sharded_count_range_fn(self.mesh)
         self._planes: dict = {}
+
+    def _place(self, arr: np.ndarray, words: int):
+        """Column-shard a host array over the mesh (multi-host aware)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pad = words - arr.shape[1]
+        if pad:
+            arr = np.pad(arr, ((0, 0), (0, pad)))
+        if self.multi_process:
+            lo, hi = self.distributed.local_column_range(arr.shape[1], self.mesh)
+            return self.distributed.place_local(self.mesh, arr[:, lo:hi])
+        sh = NamedSharding(self.mesh, P(None, self.meshlib.SAMPLE_AXIS))
+        return jax.device_put(arr, sh)
 
     def planes(self, ctx: "_DbCtx"):
         """(p0_sharded, p1_sharded, padded_words, n_rows) for a database."""
         key = _cache_key(ctx.bf)
         hit = self._planes.get(key)
         if hit is None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
             ts = ctx.ts
             words = self.meshlib.pad_words_for_mesh(ts.n_words, self.n_dev)
-            pad = words - ts.n_words
-            p0, p1 = ts.plane0, ts.plane1
-            if pad:
-                p0 = np.pad(p0, ((0, 0), (0, pad)))
-                p1 = np.pad(p1, ((0, 0), (0, pad)))
-            sh = NamedSharding(self.mesh, P(None, self.meshlib.SAMPLE_AXIS))
-            hit = (jax.device_put(p0, sh), jax.device_put(p1, sh), words,
-                   ts.n_rows)
+            hit = (self._place(ts.plane0, words), self._place(ts.plane1, words),
+                   words, ts.n_rows)
             self._planes[key] = hit
         return hit
 
     def put_masks(self, masks: np.ndarray, words: int):
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        pad = words - masks.shape[1]
-        if pad:
-            masks = np.pad(masks, ((0, 0), (0, pad)))
-        sh = NamedSharding(self.mesh, P(None, self.meshlib.SAMPLE_AXIS))
-        return jax.device_put(masks, sh)
+        return self._place(masks, words)
 
 
 _shard_ctx: list = [None, False]  # [context, initialized]

@@ -1,0 +1,106 @@
+"""Multi-host execution: 2 jax.distributed CPU processes over one mesh.
+
+Launches two coordinator-connected processes (4 virtual devices each), each
+holding only its own word-column slice of the packed planes on its devices
+(distributed.place_local), runs the same subset query on both, and asserts
+byte-identical output — the psum over the 8-device global mesh must
+reproduce the single-process counts exactly (the multi-host generalization
+of the reference's multi-database composition, bgt.c:829-842).
+"""
+
+import io
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from bgt_tpu import testing
+from bgt_tpu.query import importer
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; dbdir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+sys.path.insert(0, %(repo)r)
+import io as _io
+from bgt_tpu.query import fastpath
+from bgt_tpu.query.view import main_view
+os.chdir(dbdir)
+buf = _io.StringIO()
+# subset query: forces the device count path (not the rowstats aggregate)
+ret = main_view(["-G", "-C", "-s", ",S0001,S0003,S0004", "db"], out=buf)
+assert ret == 0
+ctx = fastpath.get_shard_context()
+assert ctx is not None and ctx.multi_process, "mesh did not span processes"
+with open(f"out_{pid}.vcf", "w") as fp:
+    fp.write(buf.getvalue())
+print("proc", pid, "ok", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh_byte_parity(tmp_path):
+    vcf = testing.random_vcf(n_samples=16, n_sites=150, seed=33)
+    (tmp_path / "in.vcf").write_text(vcf)
+    importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    (tmp_path / "db.spl").write_text(testing.random_spl(16, seed=33))
+
+    # single-process expected output (this test process, 8 local devices)
+    from bgt_tpu.query.view import main_view
+    buf = io.StringIO()
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main_view(["-G", "-C", "-s", ",S0001,S0003,S0004", "db"],
+                         out=buf) == 0
+    finally:
+        os.chdir(old)
+    want = buf.getvalue()
+    assert want.count("\n") > 100
+
+    port = str(_free_port())
+    script = RUNNER % {"repo": str(REPO)}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(pid), port,
+                          str(tmp_path)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         env=env)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed processes timed out")
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, err[-3000:]
+    got0 = (tmp_path / "out_0.vcf").read_text()
+    got1 = (tmp_path / "out_1.vcf").read_text()
+    assert got0 == want
+    assert got1 == want
