@@ -311,29 +311,37 @@ def main(argv=None) -> int:
               "  version      show version number", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
-    if cmd == "import":
-        return main_import(rest)
-    if cmd == "atomize":
-        return main_atomize(rest)
-    if cmd in ("view", "mview"):
-        from .query.view import main_view
-        return main_view(rest)
-    if cmd == "fmf":
-        return main_fmf(rest)
-    if cmd == "getalt":
-        return main_getalt(rest)
-    if cmd == "bcfidx":
-        return main_bcfidx(rest)
-    if cmd == "pbfview":
-        return main_pbfview(rest)
-    if cmd == "kexpr":
-        return main_kexpr(rest)
-    if cmd == "server":
-        from .server.server import main_server
-        return main_server(rest)
-    if cmd == "version":
-        print(VERSION)
-        return 0
+    try:
+        if cmd == "import":
+            return main_import(rest)
+        if cmd == "atomize":
+            return main_atomize(rest)
+        if cmd in ("view", "mview"):
+            from .query.view import main_view
+            return main_view(rest)
+        if cmd == "fmf":
+            return main_fmf(rest)
+        if cmd == "getalt":
+            return main_getalt(rest)
+        if cmd == "bcfidx":
+            return main_bcfidx(rest)
+        if cmd == "pbfview":
+            return main_pbfview(rest)
+        if cmd == "kexpr":
+            return main_kexpr(rest)
+        if cmd == "server":
+            from .server.server import main_server
+            return main_server(rest)
+        if cmd == "version":
+            print(VERSION)
+            return 0
+    except BrokenPipeError:
+        return 1
+    except (OSError, ValueError) as e:
+        # bad inputs die with a message, not a traceback (the reference
+        # prints [E::func] and exits, e.g. bgt.c:65-69)
+        print(f"[E::main_{cmd}] {e}", file=sys.stderr)
+        return 1
     print(f"[E::main] unrecognized command '{cmd}'", file=sys.stderr)
     return 1
 

@@ -61,7 +61,9 @@ def _open_bgt(prefix: str) -> BgtFile:
     key = (path, mt(path + ".bcf"), mt(path + ".spl"), mt(path + ".bcf.csi"))
     bf = _HANDLE_CACHE.get(key)
     if bf is None:
-        bf = BgtFile(prefix)
+        # open under the absolute path: the cached handle (and its reader
+        # cursors) must stay valid for callers running in a different cwd
+        bf = BgtFile(path)
         _HANDLE_CACHE[key] = bf
     return bf
 
@@ -104,15 +106,33 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
     vardb = None
     dbfn = opt.dbfn
     if dbfn and opt.in_mem:
-        vardb = Fmf.read(dbfn)
+        try:
+            vardb = Fmf.read(dbfn)
+        except OSError:
+            print(f"[E::main_view] failed to open variant database '{dbfn}'",
+                  file=err)
+            return 1
         dbfn = None
 
     if (multi_flag & (F_CNT_AL | F_CNT_HAP)) and opt.aexpr is None:
         print("[E::main_view] -a must be specified when -S/-H is in use.", file=err)
         return 1
 
-    bfiles = [_open_bgt(p) for p in opt.prefixes]
-    bm = BgtmReader(bfiles)
+    bfiles = []
+    for p in opt.prefixes:
+        try:
+            bfiles.append(_open_bgt(p))
+        except (OSError, ValueError):
+            # missing/corrupt database -> message + exit, not a traceback
+            # (reference bgt_open returns 0, view.c prints and exits)
+            print(f"[E::main_view] failed to open BGT with prefix '{p}'",
+                  file=err)
+            return 1
+    try:
+        bm = BgtmReader(bfiles)
+    except (OSError, ValueError) as e:
+        print(f"[E::main_view] failed to open BGT: {e}", file=err)
+        return 1
     bm.set_flag(multi_flag)
     if opt.site_flt is not None and bm.set_flt_site(opt.site_flt) != 0:
         print("[E::main_view] failed to set frequency filters. Syntax error?", file=err)
@@ -121,7 +141,12 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
         print("[E::main_view] failed to set region. Region format error?", file=err)
         return 1
     if opt.bed is not None:
-        bm.set_bed(Bed.read(opt.bed), opt.excl)
+        try:
+            bm.set_bed(Bed.read(opt.bed), opt.excl)
+        except OSError:
+            print(f"[E::main_view] failed to open BED file '{opt.bed}'",
+                  file=err)
+            return 1
     if opt.fmt is not None and bm.set_table(opt.fmt) < 0:
         print("[E::main_view] failed to set tabular output.", file=err)
         return 1

@@ -105,6 +105,39 @@ def test_view_alleles_parity(db, ref_bgt):
         assert ours == ref.stdout.decode()
 
 
+def test_graceful_cli_errors(db, tmp_path):
+    """Missing/corrupt inputs die with [E::...] messages and exit code 1,
+    never tracebacks (reference bgt_open, bgt.c:65-69)."""
+    from bgt_tpu import cli
+
+    def run_cli(args):
+        errbuf = io.StringIO()
+        import contextlib
+        with contextlib.redirect_stderr(errbuf):
+            rc = cli.main(args)
+        return rc, errbuf.getvalue()
+
+    rc, msg = run_cli(["view", str(tmp_path / "nonexistent")])
+    assert rc == 1 and msg.startswith("[E::main_view] failed to open BGT")
+    # corrupt magic
+    (tmp_path / "corrupt.bcf").write_bytes(b"garbage")
+    (tmp_path / "corrupt.pbf").write_bytes(b"garbage")
+    rc, msg = run_cli(["view", str(tmp_path / "corrupt")])
+    assert rc == 1 and msg.startswith("[E::main_view]")
+    # missing BED / vardb files
+    rc, msg = run_cli(["view", "-B", str(tmp_path / "no.bed"), str(db / "ourdb")])
+    assert rc == 1 and "failed to open BED file" in msg
+    rc, msg = run_cli(["view", "-M", "-d", str(tmp_path / "no.fmf"),
+                       "-a", "x>0", str(db / "ourdb")])
+    assert rc == 1 and "failed to open variant database" in msg
+    # import of a missing input
+    rc, msg = run_cli(["import", str(tmp_path / "o"), str(tmp_path / "no.vcf")])
+    assert rc == 1 and msg.startswith("[E::main_import]")
+    # pbfview of garbage
+    rc, msg = run_cli(["pbfview", str(tmp_path / "corrupt.pbf")])
+    assert rc == 1 and msg.startswith("[E::")
+
+
 def _make_anno_fmf(db, ref_bgt) -> None:
     """Synthetic variant annotation DB: impact/csq columns per allele key."""
     if (db / "anno.fmf").exists():
