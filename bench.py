@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark: sites/s decoded + AC-scanned on a 1kg-chr11-scale cohort.
+"""Benchmark: canonical counting query (view -GC) vs the reference binary.
 
-Builds (once, cached under build/bench/) a synthetic 2,504-sample database
-mirroring the structure of the canonical 1kg chr11 demo (multi-allelics,
-indels, missing genotypes), verifies byte parity of `view -C` against the
-reference binary compiled from /root/reference, then times the canonical
-counting query (`bgt view -GC`: decode every genotype, emit per-site AC/AN)
-for both engines.
+Two databases (built once, cached under build/bench/):
+  - 1kg11: 2,504 samples x 100k sites (the canonical 1kg-chr11 shape)
+  - hrc:   32,488 samples x 30k sites (HRC-shaped: wide sample axis)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-value is our steady-state sites/s and vs_baseline is the speedup over the
-reference binary measured on this same machine and dataset.
+Gates (per config): import byte parity (.bcf/.pbf) and md5 byte parity of
+the full `view -GC` stream against the reference binary.
+
+Measurements: warm `view -GC` (best of 3, in-process), TRUE cold `view
+-GC` (fresh subprocess, includes tile load), sample-subset `-GC -s` (the
+device masked-popcount path: first = device pass + transfers, repeat =
+memoized), full `view -C` genotype dump, and import time, all against the
+reference binary timed on this same machine and data.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}
+where value is the warm 1kg11 sites/s and vs_baseline the speedup over the
+reference for that same query.
 """
 
+import hashlib
 import io
 import json
 import os
@@ -24,11 +31,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-N_SAMPLES = 2504
-N_SITES = 100000
-SEED = 1337
 BENCH_DIR = REPO / "build" / "bench"
-QUERY = ["-G", "-C"]
+
+CONFIGS = {
+    "1kg11": dict(n_samples=2504, n_sites=100_000, seed=1337),
+    "hrc": dict(n_samples=32_488, n_sites=30_000, seed=2026),
+}
+PRIMARY = "1kg11"
 
 
 def log(*a):
@@ -43,169 +52,242 @@ def ensure_ref():
     return str(exe)
 
 
-def ensure_db(ref_bgt: str):
-    BENCH_DIR.mkdir(parents=True, exist_ok=True)
-    stamp = BENCH_DIR / f"stamp-ld-{N_SAMPLES}x{N_SITES}-{SEED}"
+def _paths(name):
+    d = BENCH_DIR / name
+    return d, d / "ourdb", d / "refdb"
+
+
+def ensure_db(ref_bgt: str, name: str) -> dict:
+    cfg = CONFIGS[name]
+    d, our, ref = _paths(name)
+    d.mkdir(parents=True, exist_ok=True)
+    stamp = d / f"stamp-{cfg['n_samples']}x{cfg['n_sites']}-{cfg['seed']}"
+    meta = {}
     if stamp.exists():
-        return
+        return json.loads(stamp.read_text())
     from bgt_tpu import testing
     from bgt_tpu.query import importer
 
-    log(f"generating cohort VCF ({N_SAMPLES} samples x {N_SITES} sites)...")
-    vcf = testing.cohort_vcf(n_samples=N_SAMPLES, n_sites=N_SITES, seed=SEED)
-    (BENCH_DIR / "in.vcf").write_text(vcf)
-    log("importing (ours)...")
+    log(f"[{name}] generating cohort VCF "
+        f"({cfg['n_samples']} samples x {cfg['n_sites']} sites)...")
     t0 = time.time()
-    n = importer.import_vcf(str(BENCH_DIR / "ourdb"), [str(BENCH_DIR / "in.vcf")],
-                            is_vcf=True)
-    log(f"our import: {n} rows in {time.time() - t0:.1f}s")
-    log("importing (reference)...")
+    if name == PRIMARY:
+        # string builder kept for byte-compat with previously cached DBs
+        (d / "in.vcf").write_text(testing.cohort_vcf(
+            n_samples=cfg["n_samples"], n_sites=cfg["n_sites"],
+            seed=cfg["seed"]))
+    else:
+        testing.cohort_vcf_to_file(str(d / "in.vcf"),
+                                   n_samples=cfg["n_samples"],
+                                   n_sites=cfg["n_sites"], seed=cfg["seed"])
+    log(f"[{name}] generated in {time.time() - t0:.0f}s "
+        f"({(d / 'in.vcf').stat().st_size / 1e9:.2f} GB)")
+    log(f"[{name}] importing (ours)...")
     t0 = time.time()
-    subprocess.run([ref_bgt, "import", "-S", "refdb", "in.vcf"], cwd=BENCH_DIR,
+    n = importer.import_vcf(str(our), [str(d / "in.vcf")], is_vcf=True)
+    meta["import_ours_s"] = round(time.time() - t0, 2)
+    log(f"[{name}] our import: {n} rows in {meta['import_ours_s']}s")
+    log(f"[{name}] importing (reference)...")
+    t0 = time.time()
+    subprocess.run([ref_bgt, "import", "-S", "refdb", "in.vcf"], cwd=d,
                    check=True, capture_output=True)
-    log(f"reference import: {time.time() - t0:.1f}s")
-    assert (BENCH_DIR / "ourdb.bcf").read_bytes() == (BENCH_DIR / "refdb.bcf").read_bytes(), \
-        "import .bcf parity failure"
-    assert (BENCH_DIR / "ourdb.pbf").read_bytes() == (BENCH_DIR / "refdb.pbf").read_bytes(), \
-        "import .pbf parity failure"
-    stamp.write_text("ok")
+    meta["import_ref_s"] = round(time.time() - t0, 2)
+    log(f"[{name}] reference import: {meta['import_ref_s']}s")
+    for ext in (".bcf", ".pbf"):
+        a = Path(str(our) + ext).read_bytes()
+        b = Path(str(ref) + ext).read_bytes()
+        assert a == b, f"[{name}] import {ext} parity failure"
+    meta["n_rows"] = n
+    stamp.write_text(json.dumps(meta))
+    return meta
 
 
-def check_parity(ref_bgt: str, n_check: int = 500):
-    """Byte parity of the emitted VCF on a prefix of the database."""
+class _Null(io.TextIOBase):
+    def __init__(self):
+        self.n = 0
+
+    def write(self, s):
+        self.n += s.count("\n")
+        return len(s)
+
+
+class _Md5Sink(io.TextIOBase):
+    def __init__(self):
+        self.h = hashlib.md5()
+        outer = self
+
+        class B:
+            def write(b, data):
+                outer.h.update(data)
+                return len(data)
+
+            def flush(b):
+                pass
+
+        self.buffer = B()
+
+    def write(self, s):
+        self.h.update(s.encode("latin-1"))
+        return len(s)
+
+
+def ref_md5(ref_bgt, d, args, cache_name) -> str:
+    """md5 of a reference query, cached on disk next to the database."""
+    cache = d / cache_name
+    if cache.exists():
+        return cache.read_text().strip()
+    h = hashlib.md5()
+    with subprocess.Popen([ref_bgt, "view"] + args + ["refdb"], cwd=d,
+                          stdout=subprocess.PIPE) as p:
+        for blk in iter(lambda: p.stdout.read(1 << 20), b""):
+            h.update(blk)
+    assert p.returncode == 0
+    digest = h.hexdigest()
+    cache.write_text(digest + "\n")
+    return digest
+
+
+def ours_md5(d, args) -> str:
     from bgt_tpu.query.view import main_view
-
-    ref = subprocess.run([ref_bgt, "view", "-C", "-n", str(n_check), "refdb"],
-                         cwd=BENCH_DIR, capture_output=True, check=True)
-    buf = io.StringIO()
+    sink = _Md5Sink()
     old = os.getcwd()
-    os.chdir(BENCH_DIR)
+    os.chdir(d)
     try:
-        ret = main_view(["-C", "-n", str(n_check), "ourdb"], out=buf)
+        assert main_view(args + ["ourdb"], out=sink) == 0
     finally:
         os.chdir(old)
-    assert ret == 0
-    if buf.getvalue() != ref.stdout.decode():
-        log("WARNING: VCF byte parity check FAILED")
-        return False
-    log(f"VCF byte parity OK on {n_check} sites")
-    return True
+    return sink.h.hexdigest()
 
 
-def time_ours() -> tuple[float, int]:
-    from bgt_tpu.query.view import main_view
-
-    class _Null(io.TextIOBase):
-        def __init__(self):
-            self.n = 0
-
-        def write(self, s):
-            self.n += s.count("\n")
-            return len(s)
-
-    old = os.getcwd()
-    os.chdir(BENCH_DIR)
-    try:
-        # cold run: builds tiles + site table caches, compiles kernels
-        t0 = time.time()
-        sink = _Null()
-        main_view(QUERY + ["ourdb"], out=sink)
-        cold = time.time() - t0
-        n_sites = sink.n - 1  # minus header... header lines start with #
-        log(f"ours cold: {cold:.2f}s")
-        best = float("inf")
-        for _ in range(3):
-            sink = _Null()
-            t0 = time.time()
-            main_view(QUERY + ["ourdb"], out=sink)
-            best = min(best, time.time() - t0)
-    finally:
-        os.chdir(old)
-    return best, n_sites
-
-
-def time_ref_dump(ref_bgt: str) -> float:
-    t0 = time.time()
-    subprocess.run([ref_bgt, "view", "-C", "refdb"], cwd=BENCH_DIR,
-                   stdout=subprocess.DEVNULL, check=True)
-    return time.time() - t0
-
-
-def time_ours_dump() -> float:
-    from bgt_tpu.query.view import main_view
-
-    class BinSink(io.TextIOBase):
-        def __init__(self):
-            outer = self
-
-            class B:
-                def write(b, data):
-                    return len(data)
-
-                def flush(b):
-                    pass
-
-            self.buffer = B()
-
-        def write(self, s):
-            return len(s)
-
-    old = os.getcwd()
-    os.chdir(BENCH_DIR)
-    try:
-        main_view(["-C", "-n", "2000", "ourdb"], out=BinSink())  # warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            main_view(["-C", "ourdb"], out=BinSink())
-            best = min(best, time.time() - t0)
-    finally:
-        os.chdir(old)
-    return best
-
-
-def time_ref(ref_bgt: str) -> float:
+def time_ref(ref_bgt, d, args, runs=3) -> float:
     best = float("inf")
-    for _ in range(3):
+    for _ in range(runs):
         t0 = time.time()
-        subprocess.run([ref_bgt, "view"] + QUERY + ["refdb"], cwd=BENCH_DIR,
+        subprocess.run([ref_bgt, "view"] + args + ["refdb"], cwd=d,
                        stdout=subprocess.DEVNULL, check=True)
         best = min(best, time.time() - t0)
     return best
 
 
-def count_sites(ref_bgt: str) -> int:
-    out = subprocess.run([ref_bgt, "view"] + QUERY + ["refdb"], cwd=BENCH_DIR,
-                         capture_output=True, check=True)
-    return sum(1 for line in out.stdout.splitlines() if not line.startswith(b"#"))
+def time_ours(d, args, runs=3):
+    from bgt_tpu.query.view import main_view
+    best = float("inf")
+    n_lines = 0
+    for _ in range(runs):
+        sink = _Null()
+        t0 = time.time()
+        assert main_view(args + [str(d / "ourdb")], out=sink) == 0
+        best = min(best, time.time() - t0)
+        n_lines = sink.n
+    return best, n_lines
+
+
+def time_ours_cold(d, args) -> float:
+    """TRUE cold: fresh interpreter, nothing warmed (includes tile load)."""
+    script = (
+        "import sys, time, io, os\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        f"os.chdir({str(d)!r})\n"
+        "from bgt_tpu.query.view import main_view\n"
+        "class N(io.TextIOBase):\n"
+        "    def write(self, s): return len(s)\n"
+        "t0 = time.time()\n"
+        f"assert main_view({args!r} + ['ourdb'], out=N()) == 0\n"
+        "print('COLD %.3f' % (time.time() - t0))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("COLD "):
+            return float(line.split()[1])
+    raise RuntimeError("cold run produced no timing")
+
+
+def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
+    d, our, ref = _paths(name)
+    meta = ensure_db(ref_bgt, name)
+    ex = extra.setdefault(name, {})
+    ex["import_ours_s"] = meta.get("import_ours_s")
+    ex["import_ref_s"] = meta.get("import_ref_s")
+
+    # --- parity gate: full view -GC stream ---
+    want = ref_md5(ref_bgt, d, ["-G", "-C"], "md5-gc.txt")
+    got = ours_md5(d, ["-G", "-C"])
+    parity = want == got
+    ex["parity_gc"] = parity
+    if not parity:
+        log(f"[{name}] FULL -GC PARITY FAILED")
+    else:
+        log(f"[{name}] full -GC md5 parity OK")
+
+    # --- the counting query ---
+    runs = 3 if name == PRIMARY else 2
+    t_ref = time_ref(ref_bgt, d, ["-G", "-C"], runs)
+    t_warm, n_lines = time_ours(d, ["-G", "-C"], runs)
+    n_sites = meta["n_rows"]
+    log(f"[{name}] view -GC: ref {t_ref:.2f}s, ours warm {t_warm * 1e3:.1f}ms "
+        f"({t_ref / t_warm:.0f}x), {n_sites / t_warm:,.0f} sites/s")
+    ex["gc_ref_s"] = round(t_ref, 3)
+    ex["gc_warm_s"] = round(t_warm, 4)
+    ex["gc_speedup"] = round(t_ref / t_warm, 1)
+    t_cold = time_ours_cold(d, ["-G", "-C"])
+    ex["gc_cold_s"] = round(t_cold, 3)
+    log(f"[{name}] view -GC TRUE cold (fresh process): {t_cold:.2f}s "
+        f"({t_ref / t_cold:.1f}x ref)")
+
+    # --- sample-subset query: the device masked-popcount path ---
+    subset = d / "subset.txt"
+    if not subset.exists():
+        names = [l.split("\t")[0] for l in
+                 (d / "refdb.spl").read_text().splitlines() if l]
+        subset.write_text("\n".join(names[::3]) + "\n")
+    sub_args = ["-G", "-C", "-s", str(subset)]
+    want = ref_md5(ref_bgt, d, sub_args, "md5-subset.txt")
+    got = ours_md5(d, sub_args)  # first: device pass + transfers
+    ex["parity_subset"] = want == got
+    parity = parity and want == got
+    t0 = time.time()
+    got = ours_md5(d, sub_args)
+    ex["subset_repeat_s"] = round(time.time() - t0, 4)
+    from bgt_tpu.query import fastpath
+    fastpath._COUNT_MEMO.clear()
+    t0 = time.time()
+    _ = ours_md5(d, sub_args)
+    ex["subset_device_s"] = round(time.time() - t0, 4)
+    t_ref_sub = time_ref(ref_bgt, d, sub_args, 1)
+    ex["subset_ref_s"] = round(t_ref_sub, 3)
+    log(f"[{name}] subset -GC: ref {t_ref_sub:.2f}s, ours device "
+        f"{ex['subset_device_s']}s, memoized {ex['subset_repeat_s']}s")
+
+    # --- full genotype dump ---
+    t_ref_dump = time_ref(ref_bgt, d, ["-C"], 1)
+    t_dump, _ = time_ours(d, ["-C"], 2)
+    ex["dump_ref_s"] = round(t_ref_dump, 2)
+    ex["dump_ours_s"] = round(t_dump, 2)
+    log(f"[{name}] full -C dump: ours {t_dump:.2f}s vs ref {t_ref_dump:.2f}s "
+        f"({t_ref_dump / t_dump:.1f}x)")
+
+    if not parity:
+        return None
+    return (n_sites / t_warm, t_ref / t_warm)
 
 
 def main():
     ref_bgt = ensure_ref()
-    ensure_db(ref_bgt)
-    parity = check_parity(ref_bgt)
-    n_sites = count_sites(ref_bgt)
-    t_ref = time_ref(ref_bgt)
-    log(f"reference: {n_sites} sites in {t_ref:.2f}s = {n_sites / t_ref:,.0f} sites/s")
-    t_ours, _ = time_ours()
-    ours_rate = n_sites / t_ours
-    # secondary: full-matrix GT dump (view -C), both engines
+    extra: dict = {}
+    primary = bench_config(ref_bgt, PRIMARY, extra)
     try:
-        t_dump_ref = time_ref_dump(ref_bgt)
-        t_dump_ours = time_ours_dump()
-        log(f"full -C dump: ours {t_dump_ours:.2f}s vs reference {t_dump_ref:.2f}s "
-            f"({t_dump_ref / t_dump_ours:.1f}x)")
-    except Exception as e:
-        log(f"dump benchmark skipped: {e}")
-    log(f"ours: {n_sites} sites in {t_ours:.2f}s = {ours_rate:,.0f} sites/s")
-    gt_rate = ours_rate * N_SAMPLES * 2
-    log(f"ours genotype throughput: {gt_rate / 1e6:,.0f} M genotypes/s")
-    value = ours_rate if parity else 0.0
+        bench_config(ref_bgt, "hrc", extra)
+    except Exception as e:  # noqa: BLE001 - secondary config must not kill the bench
+        log(f"hrc config failed: {e}")
+        extra["hrc"] = {"error": str(e)}
+    value, vs = (0.0, 0.0) if primary is None else primary
     print(json.dumps({
-        "metric": "sites/s decoded+AC-scanned (2504 samples, view -GC)",
+        "metric": "sites/s, warm view -GC (2504 samples x 105730 sites)",
         "value": round(value, 1),
         "unit": "sites/s",
-        "vs_baseline": round(t_ref / t_ours, 3),
+        "vs_baseline": round(vs, 3),
+        "extra": extra,
     }))
 
 

