@@ -243,21 +243,49 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
         subset.write_text("\n".join(names[::3]) + "\n")
     sub_args = ["-G", "-C", "-s", str(subset)]
     want = ref_md5(ref_bgt, d, sub_args, "md5-subset.txt")
-    got = ours_md5(d, sub_args)  # first: device pass + transfers
-    ex["parity_subset"] = want == got
-    parity = parity and want == got
-    t0 = time.time()
-    got = ours_md5(d, sub_args)
-    ex["subset_repeat_s"] = round(time.time() - t0, 4)
-    from bgt_tpu.query import fastpath
-    fastpath._COUNT_MEMO.clear()
-    t0 = time.time()
-    _ = ours_md5(d, sub_args)
-    ex["subset_device_s"] = round(time.time() - t0, 4)
-    t_ref_sub = time_ref(ref_bgt, d, sub_args, 1)
-    ex["subset_ref_s"] = round(t_ref_sub, 3)
-    log(f"[{name}] subset -GC: ref {t_ref_sub:.2f}s, ours device "
-        f"{ex['subset_device_s']}s, memoized {ex['subset_repeat_s']}s")
+    # device-path measurements run in a timeout-guarded subprocess: the
+    # tunneled TPU's transfer path can hang, and that must not wedge the
+    # whole benchmark
+    script = (
+        "import sys, time, json, io, os, hashlib\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        f"os.chdir({str(d)!r})\n"
+        "from bgt_tpu.query.view import main_view\n"
+        "from bgt_tpu.query import fastpath\n"
+        "class M(io.TextIOBase):\n"
+        "    def __init__(self):\n"
+        "        self.h = hashlib.md5()\n"
+        "    def write(self, s):\n"
+        "        self.h.update(s.encode('latin-1')); return len(s)\n"
+        "def q():\n"
+        "    m = M(); t0 = time.time()\n"
+        f"    assert main_view({sub_args!r} + ['ourdb'], out=m) == 0\n"
+        "    return time.time() - t0, m.h.hexdigest()\n"
+        "t_first, md5 = q()\n"
+        "t_rep, _ = q()\n"
+        "fastpath._COUNT_MEMO.clear()\n"
+        "t_dev, _ = q()\n"
+        "print('SUBSET ' + json.dumps({'md5': md5, 'first_s': t_first,"
+        " 'repeat_s': t_rep, 'device_s': t_dev}))\n"
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", script], timeout=600,
+                             capture_output=True, text=True, check=True)
+        res = next(json.loads(l[7:]) for l in out.stdout.splitlines()
+                   if l.startswith("SUBSET "))
+        ex["parity_subset"] = res["md5"] == want
+        parity = parity and res["md5"] == want
+        ex["subset_first_s"] = round(res["first_s"], 3)
+        ex["subset_repeat_s"] = round(res["repeat_s"], 4)
+        ex["subset_device_s"] = round(res["device_s"], 4)
+        t_ref_sub = time_ref(ref_bgt, d, sub_args, 1)
+        ex["subset_ref_s"] = round(t_ref_sub, 3)
+        log(f"[{name}] subset -GC: ref {t_ref_sub:.2f}s, ours device "
+            f"{ex['subset_device_s']}s, memoized {ex['subset_repeat_s']}s")
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+            StopIteration) as e:
+        log(f"[{name}] subset device measurement failed/hung: {e}")
+        ex["subset_error"] = str(e)[:200]
 
     # --- full genotype dump ---
     t_ref_dump = time_ref(ref_bgt, d, ["-C"], 1)

@@ -121,19 +121,26 @@ class TileStore:
 
     @classmethod
     def load(cls, path: str) -> "TileStore":
+        """Memory-map the planes (read-only): cold-start queries that are
+        served by the rowstats aggregate never fault the matrix in at all."""
         with open(path, "rb") as fp:
             magic = fp.read(4)
             if magic not in (MAGIC, MAGIC_V1):
                 raise ValueError("not a GTC tile file")
             n_rows, m, n_words = struct.unpack("<qii", fp.read(16))
-            data = np.fromfile(fp, dtype=np.uint32, count=2 * n_rows * n_words)
-            stats = None
-            if magic == MAGIC:
-                raw = np.fromfile(fp, dtype=np.int32, count=4 * n_rows)
-                if raw.size == 4 * n_rows:
-                    stats = raw.reshape(n_rows, 4)
-        plane0 = data[: n_rows * n_words].reshape(n_rows, n_words)
-        plane1 = data[n_rows * n_words:].reshape(n_rows, n_words)
+            hdr = fp.tell()
+        plane_elems = n_rows * n_words
+        data = np.memmap(path, dtype=np.uint32, mode="r", offset=hdr,
+                         shape=(2 * plane_elems,))
+        stats = None
+        if magic == MAGIC:
+            raw = np.memmap(path, dtype=np.int32, mode="r",
+                            offset=hdr + 8 * plane_elems)
+            if raw.size >= 4 * n_rows:
+                # rowstats are small and hot: materialize them
+                stats = np.array(raw[: 4 * n_rows]).reshape(n_rows, 4)
+        plane0 = data[:plane_elems].reshape(n_rows, n_words)
+        plane1 = data[plane_elems:].reshape(n_rows, n_words)
         return cls(n_rows, m, plane0, plane1, rowstats=stats)
 
     @classmethod

@@ -30,10 +30,36 @@ BATCH_ROWS = 4096
 
 
 class SiteTable:
-    """All site records of a DB parsed into columnar arrays (one-time scan)."""
+    """All site records of a DB parsed into columnar arrays.
+
+    The one-time .bcf scan is cached in a ``.sites.npz`` sidecar (rebuilt
+    when the .bcf is newer), so cold-start queries skip the per-record
+    Python parse entirely.
+    """
 
     def __init__(self, prefix: str, h0: bcflib.BcfHeader):
-        fp = BgzfReader(prefix + ".bcf")
+        self.h0 = h0
+        import os
+        sidecar = prefix + ".sites.npz"
+        bcf_path = prefix + ".bcf"
+        try:
+            if os.path.getmtime(sidecar) >= os.path.getmtime(bcf_path):
+                self._load(sidecar)
+                return
+        except OSError:
+            pass
+        self._scan(bcf_path)
+        try:
+            np.savez(sidecar, rid=self.rid, pos=self.pos, rlen=self.rlen,
+                     n_allele=self.n_allele, ref_len=self.ref_len,
+                     alt_len=self.alt_len,
+                     ref_cat=np.frombuffer(self.ref_cat, dtype=np.uint8),
+                     alt_cat=np.frombuffer(self.alt_cat, dtype=np.uint8))
+        except OSError:
+            pass
+
+    def _scan(self, bcf_path: str) -> None:
+        fp = BgzfReader(bcf_path)
         bcflib.BcfHeader.read_bcf(fp)
         rid = []
         pos = []
@@ -59,23 +85,58 @@ class SiteTable:
         self.rlen = np.array(rlen, dtype=np.int64)
         self.n_allele = np.array(nal, dtype=np.int32)
         self.ref_len = np.array(ref_lens, dtype=np.int64)
-        self.refs = refs
-        self.alts = alts
         # concatenated allele buffers + per-site offsets (for native emission)
         self.ref_cat = b"".join(refs)
-        self.ref_off = np.zeros(self.n, dtype=np.int64)
-        np.cumsum(self.ref_len[:-1], out=self.ref_off[1:])
         self.alt_len = np.array([len(a) for a in alts], dtype=np.int64)
         self.alt_cat = b"".join(alts)
+        self._finish()
+
+    def _load(self, sidecar: str) -> None:
+        z = np.load(sidecar)
+        self.rid = z["rid"]
+        self.pos = z["pos"]
+        self.rlen = z["rlen"]
+        self.n_allele = z["n_allele"]
+        self.ref_len = z["ref_len"]
+        self.alt_len = z["alt_len"]
+        self.ref_cat = z["ref_cat"].tobytes()
+        self.alt_cat = z["alt_cat"].tobytes()
+        self.n = self.rid.size
+        self._finish()
+
+    def _finish(self) -> None:
+        self.ref_off = np.zeros(self.n, dtype=np.int64)
+        np.cumsum(self.ref_len[:-1], out=self.ref_off[1:])
         self.alt_off = np.zeros(self.n, dtype=np.int64)
         np.cumsum(self.alt_len[:-1], out=self.alt_off[1:])
-        self.h0 = h0
+        self._refs: list | None = None
+        self._alts: list | None = None
+
+    @property
+    def refs(self) -> list:
+        if self._refs is None:
+            self._refs = [
+                self.ref_cat[int(o): int(o + l)]
+                for o, l in zip(self.ref_off.tolist(), self.ref_len.tolist())
+            ]
+        return self._refs
+
+    @property
+    def alts(self) -> list:
+        if self._alts is None:
+            self._alts = [
+                self.alt_cat[int(o): int(o + l)]
+                for o, l in zip(self.alt_off.tolist(), self.alt_len.tolist())
+            ]
+        return self._alts
 
     def ref_s(self, r: int) -> str:
-        return self.refs[r].decode("latin-1")
+        o = int(self.ref_off[r])
+        return self.ref_cat[o: o + int(self.ref_len[r])].decode("latin-1")
 
     def alt_s(self, r: int) -> str:
-        return self.alts[r].decode("latin-1")
+        o = int(self.alt_off[r])
+        return self.alt_cat[o: o + int(self.alt_len[r])].decode("latin-1")
 
 
 class MergedSites:
