@@ -68,20 +68,23 @@ def ensure_db(ref_bgt: str, name: str) -> dict:
     from bgt_tpu import testing
     from bgt_tpu.query import importer
 
-    log(f"[{name}] generating cohort VCF "
-        f"({cfg['n_samples']} samples x {cfg['n_sites']} sites)...")
-    t0 = time.time()
-    if name == PRIMARY:
-        # string builder kept for byte-compat with previously cached DBs
-        (d / "in.vcf").write_text(testing.cohort_vcf(
-            n_samples=cfg["n_samples"], n_sites=cfg["n_sites"],
-            seed=cfg["seed"]))
-    else:
-        testing.cohort_vcf_to_file(str(d / "in.vcf"),
-                                   n_samples=cfg["n_samples"],
-                                   n_sites=cfg["n_sites"], seed=cfg["seed"])
-    log(f"[{name}] generated in {time.time() - t0:.0f}s "
-        f"({(d / 'in.vcf').stat().st_size / 1e9:.2f} GB)")
+    gen_stamp = d / f"genstamp-{cfg['n_samples']}x{cfg['n_sites']}-{cfg['seed']}"
+    if not gen_stamp.exists():
+        log(f"[{name}] generating cohort VCF "
+            f"({cfg['n_samples']} samples x {cfg['n_sites']} sites)...")
+        t0 = time.time()
+        if name == PRIMARY:
+            # string builder kept for byte-compat with previously cached DBs
+            (d / "in.vcf").write_text(testing.cohort_vcf(
+                n_samples=cfg["n_samples"], n_sites=cfg["n_sites"],
+                seed=cfg["seed"]))
+        else:
+            testing.cohort_vcf_to_file(str(d / "in.vcf"),
+                                       n_samples=cfg["n_samples"],
+                                       n_sites=cfg["n_sites"], seed=cfg["seed"])
+        log(f"[{name}] generated in {time.time() - t0:.0f}s "
+            f"({(d / 'in.vcf').stat().st_size / 1e9:.2f} GB)")
+        gen_stamp.write_text("ok")
     log(f"[{name}] importing (ours)...")
     t0 = time.time()
     n = importer.import_vcf(str(our), [str(d / "in.vcf")], is_vcf=True)
@@ -103,8 +106,21 @@ def ensure_db(ref_bgt: str, name: str) -> dict:
 
 
 class _Null(io.TextIOBase):
+    """Line-counting sink with a binary buffer (like a real stdout)."""
+
     def __init__(self):
         self.n = 0
+        outer = self
+
+        class B:
+            def write(b, data):
+                outer.n += bytes(data).count(b"\n")
+                return len(data)
+
+            def flush(b):
+                pass
+
+        self.buffer = B()
 
     def write(self, s):
         self.n += s.count("\n")

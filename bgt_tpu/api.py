@@ -65,7 +65,7 @@ class Dataset:
     def __init__(self, prefixes):
         if isinstance(prefixes, str):
             prefixes = [prefixes]
-        self.files = [engine.BgtFile(p) for p in prefixes]
+        self.files = [engine.open_bgt_cached(p) for p in prefixes]
 
     @property
     def samples(self) -> list[str]:

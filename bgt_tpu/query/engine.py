@@ -60,6 +60,34 @@ class BgtFile:
         return self.f.n_rows
 
 
+_HANDLE_CACHE: dict = {}
+
+
+def open_bgt_cached(prefix: str) -> BgtFile:
+    """Shared read-only BgtFile handles, keyed on path+mtimes.
+
+    Mirrors the reference server's process-wide bgt_file_t sharing
+    (bgt-server.go:147-153): headers, CSI index, and .spl FMF are immutable
+    per database version, so repeated queries skip the reopen/reparse.
+    Handles open under the absolute path so they survive cwd changes.
+    """
+    import os
+    path = os.path.abspath(prefix)
+
+    def mt(p):
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0
+
+    key = (path, mt(path + ".bcf"), mt(path + ".spl"), mt(path + ".bcf.csi"))
+    bf = _HANDLE_CACHE.get(key)
+    if bf is None:
+        bf = BgtFile(path)
+        _HANDLE_CACHE[key] = bf
+    return bf
+
+
 class _Iter:
     """Region iterator state over CSI chunks (hts_itr_t, hts.c:868-900)."""
 

@@ -39,33 +39,7 @@ def format_gt_fast(a0: np.ndarray, a1: np.ndarray, keep: np.ndarray | None) -> b
     return _CELL_LUT[idx].tobytes()
 
 
-_HANDLE_CACHE: dict = {}
-
-
-def _open_bgt(prefix: str) -> BgtFile:
-    """Shared read-only BgtFile handles, keyed on path+mtimes.
-
-    Mirrors the reference server's process-wide bgt_file_t sharing
-    (bgt-server.go:147-153): headers, CSI index, and .spl FMF are immutable
-    per database version, so repeated queries skip the reopen/reparse.
-    """
-    import os
-    path = os.path.abspath(prefix)
-
-    def mt(p):
-        try:
-            return os.path.getmtime(p)
-        except OSError:
-            return 0
-
-    key = (path, mt(path + ".bcf"), mt(path + ".spl"), mt(path + ".bcf.csi"))
-    bf = _HANDLE_CACHE.get(key)
-    if bf is None:
-        # open under the absolute path: the cached handle (and its reader
-        # cursors) must stay valid for callers running in a different cwd
-        bf = BgtFile(path)
-        _HANDLE_CACHE[key] = bf
-    return bf
+_open_bgt = engine.open_bgt_cached
 
 
 class ViewOptions:
