@@ -114,7 +114,9 @@ class _Null(io.TextIOBase):
 
         class B:
             def write(b, data):
-                outer.n += bytes(data).count(b"\n")
+                # zero-copy newline count (chunks can be ~GB memoryviews)
+                import numpy as _np
+                outer.n += int((_np.frombuffer(data, _np.uint8) == 10).sum())
                 return len(data)
 
             def flush(b):

@@ -51,6 +51,31 @@ def _setup_compilation_cache() -> None:
 
 _setup_compilation_cache()
 
+_warmed = [False]
+
+
+def warmup_transfers_async() -> None:
+    """Fire-and-forget device-transfer warmup.
+
+    Tunneled TPUs (axon) pay a multi-minute penalty on the FIRST
+    device->host transfer of a process (measured: 57-330s for the first
+    readback, ~0.1ms after).  Long-lived processes (the query server) call
+    this at startup so the channel is warm before the first real query
+    needs a readback.  No-op on failure or missing accelerator.
+    """
+    if _warmed[0]:
+        return
+    _warmed[0] = True
+    import threading
+
+    def _go():
+        try:
+            np.asarray(jnp.arange(8, dtype=jnp.int32) + 1)
+        except Exception:  # noqa: BLE001 - warmup is best-effort
+            pass
+
+    threading.Thread(target=_go, daemon=True, name="bgt-d2h-warmup").start()
+
 
 @jax.jit
 def count_codes(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:

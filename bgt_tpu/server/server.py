@@ -311,6 +311,8 @@ def main_server(argv: list[str]) -> int:
               file=sys.stderr)
         return 1
     files.no_file = True  # server mode: expressions never name local files
+    from ..ops.counts import warmup_transfers_async
+    warmup_transfers_async()  # tunneled-TPU first-readback penalty, off-path
     cfg.files = [BgtFile(p) for p in args]
     cfg.prefixes = [os.path.basename(p) for p in args]
     srv = make_server(cfg)
