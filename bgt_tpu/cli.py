@@ -128,6 +128,12 @@ def main_fmf(argv, out=None, err=None) -> int:
                 continue
             out.write((f.row_name(i) if name_only else f.write_row(i)) + "\n")
     else:
+        from .formats.fmf import scan_filter
+        fast = scan_filter(args[0], ke, name_only) if ke is not None else None
+        if fast is not None:
+            for s in fast:
+                out.write(s + "\n")
+            return 0
         fs = FmfStream(args[0])
         while True:
             s = fs.read(ke, name_only)

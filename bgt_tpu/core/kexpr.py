@@ -352,10 +352,12 @@ class Kexpr:
     def compile_vector(self, xp=None):
         """Compile into f(env) -> (vtype, array) evaluating all sites at once.
 
-        ``env`` maps variable names to arrays (or scalars); string variables
-        are unsupported in vector mode (caller falls back to scalar).  ``xp``
-        is the array namespace (numpy by default; pass jax.numpy to trace
-        into an XLA computation).
+        ``env`` maps variable names to arrays (or scalars).  String columns
+        are supported as :class:`Categorical` (interned ids + unique values):
+        comparisons against string literals evaluate on the small unique
+        array and gather by id.  Other string uses raise TypeError (caller
+        falls back to scalar).  ``xp`` is the array namespace (numpy by
+        default; pass jax.numpy to trace into an XLA computation).
         """
         if xp is None:
             import numpy as xp  # noqa: PLC0415
@@ -395,11 +397,14 @@ class Kexpr:
                         v = env[e.name]
                         if isinstance(v, str):
                             raise TypeError("string variable in vector mode")
+                        if isinstance(v, Categorical):
+                            stack.append((KEV_STR, v))
+                            continue
                         arr = xp.asarray(v)
                         t = KEV_REAL if xp.issubdtype(arr.dtype, xp.floating) else KEV_INT
                         stack.append((t, arr))
                     elif e.vtype == KEV_STR:
-                        raise TypeError("string literal in vector mode")
+                        stack.append((KEV_STR, e.s))
                     elif e.vtype == KEV_REAL:
                         stack.append((KEV_REAL, xp.asarray(e.r)))
                     else:
@@ -503,12 +508,48 @@ def _wrap64(x: int) -> int:
     return x - (1 << 64) if x >= 1 << 63 else x
 
 
+class Categorical:
+    """A string column as interned ids + unique values for vector eval.
+
+    ``ids``: int array of indices into ``uniq`` (entries for absent rows may
+    be any valid index; callers mask them out).  Comparisons against a
+    string literal evaluate the predicate on ``uniq`` (tiny) and gather by
+    id — O(n_uniq) string work for n rows.
+    """
+
+    __slots__ = ("ids", "uniq")
+
+    def __init__(self, ids, uniq):
+        self.ids = ids
+        self.uniq = list(uniq)
+
+
 def _vec_apply2(xp, op, tp, p, tq, q):
     either_real = tp == KEV_REAL or tq == KEV_REAL
     if 14 <= op <= 19:
+        if tp == KEV_STR or tq == KEV_STR:
+            if not (tp == KEV_STR and tq == KEV_STR):
+                raise TypeError("string/number comparison in vector mode")
+            if isinstance(p, Categorical) and isinstance(q, str):
+                # strcmp semantics (kexpr.c: cmp sign vs 0)
+                per = xp.asarray([_CMP[op]((u > q) - (u < q), 0)
+                                  for u in p.uniq], dtype=xp.int64)
+                return (KEV_INT, per[p.ids] if len(p.uniq) else
+                        xp.zeros(p.ids.shape, xp.int64))
+            if isinstance(q, Categorical) and isinstance(p, str):
+                per = xp.asarray([_CMP[op]((p > u) - (p < u), 0)
+                                  for u in q.uniq], dtype=xp.int64)
+                return (KEV_INT, per[q.ids] if len(q.uniq) else
+                        xp.zeros(q.ids.shape, xp.int64))
+            if isinstance(p, str) and isinstance(q, str):
+                return (KEV_INT, xp.asarray(
+                    int(_CMP[op]((p > q) - (p < q), 0)), xp.int64))
+            raise TypeError("unsupported string comparison in vector mode")
         a, b = (p, q)
         r = _CMP[op](a, b)
         return (KEV_INT, r.astype(xp.int64) if hasattr(r, "astype") else xp.asarray(r, xp.int64))
+    if tp == KEV_STR or tq == KEV_STR:
+        raise TypeError("string operand in vector arithmetic")
     if op in (20, 22, 21, 12, 13, 9, 8):
         a = p.astype(xp.int64)
         b = q.astype(xp.int64)
@@ -545,6 +586,8 @@ def _vec_apply2(xp, op, tp, p, tq, q):
 
 
 def _vec_apply1(xp, op, tp, p):
+    if tp == KEV_STR:
+        raise TypeError("string operand in vector unary op")
     if op == 1:
         return (tp, p)
     if op == 2:

@@ -172,6 +172,80 @@ class Fmf:
         return "\t".join(parts)
 
 
+def scan_filter(fn: str, ke, name_only: bool = True):
+    """Vectorized streaming FMF filter: list of passing row names (or whole
+    lines), or None when the fast path does not apply (caller falls back to
+    the per-row :class:`FmfStream` loop).
+
+    Semantics mirror ``fms_read`` (reference fmf.c:185-227): per row, bind
+    the typed keys present, evaluate; rows that reference an unbound
+    variable or call any function fail (KEE_UNVAR/KEE_UNFUNC).  The native
+    scanner extracts only the expression's variables into columnar arrays;
+    the expression evaluates once, vectorized.
+    """
+    from .. import native
+
+    if ke is None:
+        return None  # unfiltered pass-through: the plain loop is IO-bound
+    if any(e.ttype == kexpr._FUNC for e in ke.rpn):
+        return []  # functions are unbound in FMF scans -> every row fails
+    names = sorted(ke.var_names)
+    if "_ROW_" in names:
+        return None
+    import numpy as np
+    res = native.fmf_scan_columns(fn, names)
+    if res is None:
+        return None
+    n, name_cat, name_off, name_len, line_off, line_len, cols = res
+    if n == 0:
+        return []
+    env = {}
+    present = np.ones(n, dtype=bool)
+    for key in names:
+        vtype, iv, rv, sid, uniq = cols[key]
+        present &= vtype != 0
+        kinds = set(np.unique(vtype).tolist()) - {0}
+        if kinds <= {1}:
+            env[key] = iv
+        elif kinds <= {1, 2}:
+            env[key] = rv
+        elif kinds == {3}:
+            from ..core.kexpr import Categorical
+            env[key] = Categorical(np.maximum(sid, 0), uniq)
+        elif not kinds:  # key never present: every row fails on KEE_UNVAR
+            return []
+        else:
+            return None  # mixed string/numeric column: scalar fallback
+    try:
+        with np.errstate(all="ignore"):
+            _t, vec = ke.compile_vector(np)(env)
+    except (TypeError, KeyError, ValueError):
+        return None
+    passing = np.nonzero(present & (np.asarray(vec) != 0))[0]
+    if name_only:
+        return [
+            name_cat[name_off[i]: name_off[i] + name_len[i]].decode("latin-1")
+            for i in passing.tolist()
+        ]
+    return _read_lines_at(fn, line_off[passing], line_len[passing])
+
+
+def _read_lines_at(fn: str, offsets, lens) -> list:
+    """Whole lines at the given uncompressed offsets (plain or gzip file),
+    read in binary with ascending forward seeks."""
+    with open(fn, "rb") as probe:
+        is_gz = probe.read(2) == b"\x1f\x8b"
+    fp = gzip.open(fn, "rb") if is_gz else open(fn, "rb")
+    out = []
+    try:
+        for off, ln in zip(offsets.tolist(), lens.tolist()):
+            fp.seek(off)
+            out.append(fp.read(ln).decode("latin-1"))
+    finally:
+        fp.close()
+    return out
+
+
 class FmfStream:
     """Streaming FMF scan (fms_t): test each row against an expression."""
 

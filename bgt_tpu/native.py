@@ -74,8 +74,91 @@ def get_lib():
     lib.bgt_translate_gt.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_char_p, ctypes.c_int32,
                                      ctypes.c_void_p]
+    lib.bgt_fmf_scan.restype = ctypes.c_void_p
+    lib.bgt_fmf_scan.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_int32]
+    lib.bgt_fmf_scan_nrows.restype = ctypes.c_int64
+    lib.bgt_fmf_scan_nrows.argtypes = [ctypes.c_void_p]
+    lib.bgt_fmf_scan_names.restype = None
+    lib.bgt_fmf_scan_names.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+    lib.bgt_fmf_scan_lines.restype = None
+    lib.bgt_fmf_scan_lines.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 2
+    lib.bgt_fmf_scan_col.restype = None
+    lib.bgt_fmf_scan_col.argtypes = [ctypes.c_void_p, ctypes.c_int32] + \
+        [ctypes.c_void_p] * 4
+    lib.bgt_fmf_scan_uniq.restype = ctypes.c_int32
+    lib.bgt_fmf_scan_uniq.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                      ctypes.c_void_p, ctypes.c_void_p]
+    lib.bgt_fmf_scan_free.restype = None
+    lib.bgt_fmf_scan_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def fmf_scan_columns(path: str, keys: list[str]):
+    """Columnar scan of an FMF file extracting only ``keys``.
+
+    Returns (n_rows, name_cat: bytes, name_off, name_len, line_off,
+    line_len, cols) where cols[key] = (vtype u8, iv i64, rv f64, sid i32,
+    uniq: list[str]); or None when the native library is unavailable.
+    All arrays are copies owned by Python.
+    """
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys_cat = b"\x00".join(k.encode("latin-1") for k in keys) + b"\x00"
+    h = lib.bgt_fmf_scan(path.encode(), keys_cat, len(keys))
+    if not h:
+        raise OSError(f"cannot scan FMF file '{path}'")
+    try:
+        n = lib.bgt_fmf_scan_nrows(h)
+
+        def arr(ptr, dtype, count):
+            if count == 0:
+                return np.zeros(0, dtype=dtype)
+            # single copy straight out of the C buffers
+            ct = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+                shape=(count * np.dtype(dtype).itemsize,))
+            return ct.view(dtype).copy()
+
+        cat_p = ctypes.c_void_p()
+        off_p = ctypes.c_void_p()
+        len_p = ctypes.c_void_p()
+        lib.bgt_fmf_scan_names(h, ctypes.byref(cat_p), ctypes.byref(off_p),
+                               ctypes.byref(len_p))
+        name_off = arr(off_p, np.int64, n)
+        name_len = arr(len_p, np.int32, n)
+        total = int(name_off[-1] + name_len[-1]) if n else 0
+        name_cat = ctypes.string_at(cat_p, total) if total else b""
+        lo_p = ctypes.c_void_p()
+        ll_p = ctypes.c_void_p()
+        lib.bgt_fmf_scan_lines(h, ctypes.byref(lo_p), ctypes.byref(ll_p))
+        line_off = arr(lo_p, np.int64, n)
+        line_len = arr(ll_p, np.int32, n)
+        cols = {}
+        for k, key in enumerate(keys):
+            vt_p = ctypes.c_void_p()
+            iv_p = ctypes.c_void_p()
+            rv_p = ctypes.c_void_p()
+            sid_p = ctypes.c_void_p()
+            lib.bgt_fmf_scan_col(h, k, ctypes.byref(vt_p), ctypes.byref(iv_p),
+                                 ctypes.byref(rv_p), ctypes.byref(sid_p))
+            ucat_p = ctypes.c_void_p()
+            uoff_p = ctypes.c_void_p()
+            n_uniq = lib.bgt_fmf_scan_uniq(h, k, ctypes.byref(ucat_p),
+                                           ctypes.byref(uoff_p))
+            uoff = arr(uoff_p, np.int64, n_uniq + 1)
+            ucat = ctypes.string_at(ucat_p, int(uoff[-1])) if n_uniq else b""
+            uniq = [ucat[uoff[i]: uoff[i + 1]].decode("latin-1")
+                    for i in range(n_uniq)]
+            cols[key] = (arr(vt_p, np.uint8, n), arr(iv_p, np.int64, n),
+                         arr(rv_p, np.float64, n), arr(sid_p, np.int32, n),
+                         uniq)
+        return n, name_cat, name_off, name_len, line_off, line_len, cols
+    finally:
+        lib.bgt_fmf_scan_free(h)
 
 
 def parse_gt_cells(section: bytes, n_allele: int):

@@ -540,15 +540,23 @@ class BgtmReader:
                         if a is not None:
                             als.append(a)
             else:
-                fs = FmfStream(dbfn)
-                while True:
-                    s = fs.read(ke, True)
-                    if s is None:
-                        break
-                    a = al_parse(s)
-                    if a is not None:
-                        als.append(a)
-                fs.close()
+                from ..formats.fmf import scan_filter
+                fast = scan_filter(dbfn, ke, name_only=True)
+                if fast is not None:  # vectorized columnar scan
+                    for s in fast:
+                        a = al_parse(s)
+                        if a is not None:
+                            als.append(a)
+                else:
+                    fs = FmfStream(dbfn)
+                    while True:
+                        s = fs.read(ke, True)
+                        if s is None:
+                            break
+                        a = al_parse(s)
+                        if a is not None:
+                            als.append(a)
+                    fs.close()
         else:
             return -1
         if not als:

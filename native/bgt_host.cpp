@@ -13,8 +13,12 @@
 #include <cstring>
 #include <cstdlib>
 #include <string>
+#include <string_view>
 #include <thread>
+#include <unordered_map>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -584,5 +588,284 @@ int32_t bgt_translate_gt(const uint8_t* gt, int64_t n, const uint8_t* tr,
 }
 
 const char* bgt_host_version(void) { return "bgt_host 0.1"; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Columnar FMF scan: the annotation-query hot loop
+// ---------------------------------------------------------------------------
+//
+// The reference streams `name<TAB>key:T:value...` rows and re-binds + re-
+// evaluates a kexpr per row (fmf.c fms_read; tex/bgt.tex:214-217 reports a
+// 100M-line scan dominating a 12s query).  Here the scan extracts only the
+// keys an expression references into columnar arrays at parse speed; the
+// expression then evaluates once, vectorized, on the Python side.
+//
+// Per requested key, per row: vtype (0=absent, 1=int, 2=real, 3=str),
+// int64/double value, interned string id.  Token syntax mirrors the
+// reference exactly: "key" alone = flag (binds nothing); "key:<t><any>v"
+// with >=2 chars after ':' = typed, value starts 2 chars after the type
+// char; 'i' -> strtol(,0), 'f' -> strtod, anything else -> string.  The
+// LAST occurrence of a key in a row wins.
+
+namespace {
+
+struct SvHash {
+    using is_transparent = void;
+    size_t operator()(std::string_view s) const {
+        return std::hash<std::string_view>{}(s);
+    }
+};
+
+struct SvEq {
+    using is_transparent = void;
+    bool operator()(std::string_view a, std::string_view b) const {
+        return a == b;
+    }
+};
+
+struct FmfCol {
+    std::vector<uint8_t> vtype;
+    std::vector<int64_t> iv;
+    std::vector<double> rv;
+    std::vector<int32_t> sid;
+    // transparent lookup: no per-token heap allocation on the hot path
+    std::unordered_map<std::string, int32_t, SvHash, SvEq> intern;
+    std::string uniq_cat;
+    std::vector<int64_t> uniq_off;  // n_uniq + 1 offsets
+};
+
+struct FmfScan {
+    int64_t n_rows = 0;
+    std::string name_cat;
+    std::vector<int64_t> name_off;
+    std::vector<int32_t> name_len;
+    std::vector<int64_t> line_off;  // uncompressed byte offset of each row
+    std::vector<int32_t> line_len;
+    std::vector<std::string> keys;
+    std::vector<FmfCol> cols;
+};
+
+inline int32_t fmf_intern(FmfCol& c, const char* s, size_t n) {
+    // annotation columns typically hold a handful of distinct values: a
+    // linear memcmp scan beats hashing until the set grows (then the
+    // transparent-lookup hash map takes over)
+    if (c.uniq_off.empty()) c.uniq_off.push_back(0);
+    size_t n_uniq = c.uniq_off.size() - 1;
+    if (n_uniq <= 24 && c.intern.empty()) {
+        const char* cat = c.uniq_cat.data();
+        for (size_t i = 0; i < n_uniq; ++i) {
+            size_t len = (size_t)(c.uniq_off[i + 1] - c.uniq_off[i]);
+            if (len == n && memcmp(cat + c.uniq_off[i], s, n) == 0)
+                return (int32_t)i;
+        }
+        if (n_uniq < 24) {
+            c.uniq_cat.append(s, n);
+            c.uniq_off.push_back((int64_t)c.uniq_cat.size());
+            return (int32_t)n_uniq;
+        }
+        // overflow: seed the hash map from the linear set
+        for (size_t i = 0; i < n_uniq; ++i)
+            c.intern.emplace(
+                std::string(c.uniq_cat.data() + c.uniq_off[i],
+                            (size_t)(c.uniq_off[i + 1] - c.uniq_off[i])),
+                (int32_t)i);
+    }
+    auto it = c.intern.find(std::string_view(s, n));
+    if (it != c.intern.end()) return it->second;
+    int32_t id = (int32_t)(c.uniq_off.size() - 1);
+    c.intern.emplace(std::string(s, n), id);
+    c.uniq_cat.append(s, n);
+    c.uniq_off.push_back((int64_t)c.uniq_cat.size());
+    return id;
+}
+
+// parse one line [p, p+len) (no trailing newline)
+inline void fmf_scan_line(FmfScan* h, const char* p, size_t len, int64_t off) {
+    size_t nk = h->keys.size();
+    const char* end = p + len;
+    const char* tab = (const char*)memchr(p, '\t', len);
+    size_t name_n = tab ? (size_t)(tab - p) : len;
+    h->name_off.push_back((int64_t)h->name_cat.size());
+    h->name_cat.append(p, name_n);
+    h->name_len.push_back((int32_t)name_n);
+    h->line_off.push_back(off);
+    h->line_len.push_back((int32_t)len);
+    for (size_t k = 0; k < nk; ++k) {
+        auto& c = h->cols[k];
+        c.vtype.push_back(0);
+        c.iv.push_back(0);
+        c.rv.push_back(0.0);
+        c.sid.push_back(-1);
+    }
+    const char* q = tab ? tab + 1 : end;
+    while (q < end) {
+        const char* t_end = (const char*)memchr(q, '\t', (size_t)(end - q));
+        if (!t_end) t_end = end;
+        const char* colon = (const char*)memchr(q, ':', (size_t)(t_end - q));
+        size_t key_n = colon ? (size_t)(colon - q) : (size_t)(t_end - q);
+        for (size_t k = 0; k < nk; ++k) {
+            const std::string& key = h->keys[k];
+            if (key.size() != key_n || memcmp(key.data(), q, key_n) != 0)
+                continue;
+            // typed only when >= 2 chars follow the colon (fmf.c token rule)
+            if (colon && t_end - colon >= 3) {
+                char tc = colon[1];
+                const char* val = colon + 3;
+                size_t val_n = (size_t)(t_end - val);
+                auto& c = h->cols[k];
+                size_t r = c.vtype.size() - 1;
+                if (tc == 'i' || tc == 'f') {
+                    char nbuf[64];  // NUL-terminate for strto* on the stack
+                    size_t cn = val_n < 63 ? val_n : 63;
+                    memcpy(nbuf, val, cn);
+                    nbuf[cn] = 0;
+                    if (tc == 'i') {
+                        c.vtype[r] = 1;
+                        c.iv[r] = strtol(nbuf, nullptr, 0);
+                        c.rv[r] = (double)c.iv[r];
+                    } else {
+                        c.vtype[r] = 2;
+                        c.rv[r] = strtod(nbuf, nullptr);
+                        c.iv[r] = (int64_t)c.rv[r];
+                    }
+                } else {
+                    c.vtype[r] = 3;
+                    c.sid[r] = fmf_intern(c, val, val_n);
+                }
+            }
+            break;
+        }
+        q = t_end + 1;
+    }
+    ++h->n_rows;
+}
+
+}  // namespace
+
+extern "C" {
+
+// keys: n_keys NUL-separated key names.  Returns a scan handle or NULL.
+void* bgt_fmf_scan(const char* path, const char* keys, int32_t n_keys) {
+    // plain files read via fread (zlib's gz layer costs ~2x on uncompressed
+    // input); gzip via gzread
+    FILE* raw = fopen(path, "rb");
+    if (!raw) return nullptr;
+    int c0 = fgetc(raw), c1 = fgetc(raw);
+    bool is_gz = (c0 == 0x1f && c1 == 0x8b);
+    gzFile gz = nullptr;
+    if (is_gz) {
+        fclose(raw);
+        raw = nullptr;
+        gz = gzopen(path, "rb");
+        if (!gz) return nullptr;
+        gzbuffer(gz, 1 << 20);
+    } else {
+        rewind(raw);
+    }
+    auto* h = new FmfScan();
+    const char* kp = keys;
+    for (int32_t k = 0; k < n_keys; ++k) {
+        h->keys.emplace_back(kp);
+        kp += h->keys.back().size() + 1;
+    }
+    h->cols.resize(n_keys);
+    if (!is_gz) {  // pre-size from the file length (~40 B/row estimate)
+        fseeko(raw, 0, SEEK_END);
+        int64_t sz = ftello(raw);
+        rewind(raw);
+        size_t est = (size_t)(sz / 32) + 16;
+        h->name_off.reserve(est);
+        h->name_len.reserve(est);
+        h->line_off.reserve(est);
+        h->line_len.reserve(est);
+        h->name_cat.reserve((size_t)(sz / 4) + 16);
+        for (auto& c : h->cols) {
+            c.vtype.reserve(est);
+            c.iv.reserve(est);
+            c.rv.reserve(est);
+            c.sid.reserve(est);
+        }
+    }
+    std::vector<char> buf(1 << 22);
+    size_t have = 0;
+    int64_t base_off = 0;
+    for (;;) {
+        long got = is_gz
+            ? (long)gzread(gz, buf.data() + have, (unsigned)(buf.size() - have))
+            : (long)fread(buf.data() + have, 1, buf.size() - have, raw);
+        if (got < 0) {
+            if (gz) gzclose(gz);
+            if (raw) fclose(raw);
+            delete h;
+            return nullptr;
+        }
+        have += (size_t)got;
+        size_t start = 0;
+        for (;;) {
+            const char* nl = (const char*)memchr(buf.data() + start, '\n',
+                                                 have - start);
+            if (!nl) break;
+            size_t len = (size_t)(nl - (buf.data() + start));
+            if (len)
+                fmf_scan_line(h, buf.data() + start, len,
+                              base_off + (int64_t)start);
+            start = (size_t)(nl - buf.data()) + 1;
+        }
+        if (got == 0) {  // EOF: flush a trailing unterminated line
+            if (have > start)
+                fmf_scan_line(h, buf.data() + start, have - start,
+                              base_off + (int64_t)start);
+            break;
+        }
+        if (start == 0 && have == buf.size()) {
+            buf.resize(buf.size() * 2);  // one line longer than the buffer
+            continue;
+        }
+        memmove(buf.data(), buf.data() + start, have - start);
+        base_off += (int64_t)start;
+        have -= start;
+    }
+    if (gz) gzclose(gz);
+    if (raw) fclose(raw);
+    return h;
+}
+
+int64_t bgt_fmf_scan_nrows(void* hv) { return ((FmfScan*)hv)->n_rows; }
+
+void bgt_fmf_scan_names(void* hv, const char** cat, const int64_t** off,
+                        const int32_t** len) {
+    auto* h = (FmfScan*)hv;
+    *cat = h->name_cat.data();
+    *off = h->name_off.data();
+    *len = h->name_len.data();
+}
+
+void bgt_fmf_scan_lines(void* hv, const int64_t** off, const int32_t** len) {
+    auto* h = (FmfScan*)hv;
+    *off = h->line_off.data();
+    *len = h->line_len.data();
+}
+
+void bgt_fmf_scan_col(void* hv, int32_t k, const uint8_t** vtype,
+                      const int64_t** iv, const double** rv,
+                      const int32_t** sid) {
+    auto& c = ((FmfScan*)hv)->cols[k];
+    *vtype = c.vtype.data();
+    *iv = c.iv.data();
+    *rv = c.rv.data();
+    *sid = c.sid.data();
+}
+
+int32_t bgt_fmf_scan_uniq(void* hv, int32_t k, const char** cat,
+                          const int64_t** off) {
+    auto& c = ((FmfScan*)hv)->cols[k];
+    if (c.uniq_off.empty()) c.uniq_off.push_back(0);
+    *cat = c.uniq_cat.data();
+    *off = c.uniq_off.data();
+    return (int32_t)(c.uniq_off.size() - 1);
+}
+
+void bgt_fmf_scan_free(void* hv) { delete (FmfScan*)hv; }
 
 }  // extern "C"

@@ -7,6 +7,6 @@ mkdir -p "$OUT"
 SRC="$DIR/native/bgt_host.cpp"
 SO="$OUT/libbgt_host.so"
 if [ ! -e "$SO" ] || [ "$SRC" -nt "$SO" ]; then
-    g++ -O3 -march=native -shared -fPIC -pthread -o "$SO" "$SRC"
+    g++ -std=c++20 -O3 -march=native -shared -fPIC -pthread -o "$SO" "$SRC" -lz
     echo "built $SO"
 fi
