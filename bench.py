@@ -305,6 +305,35 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
         log(f"[{name}] subset device measurement failed/hung: {e}")
         ex["subset_error"] = str(e)[:200]
 
+    # --- annotation-driven query (1kg11 only): the reference's third
+    # headline (tex/bgt.tex:214-217, "dominated by the FMF scan") ---
+    if name == PRIMARY:
+        anno = d / "anno.fmf"
+        if not anno.exists():
+            keys = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=d,
+                                  capture_output=True,
+                                  check=True).stdout.decode().splitlines()
+            imp = ["HIGH", "LOW", "MODERATE", "MODIFIER"]
+            with open(anno, "w") as fp:
+                for i, k in enumerate(keys):
+                    fp.write(f"{k}\timpact:Z:{imp[i % 4]}\tcsq:i:{i % 23}\n")
+                for i in range(5_000_000):  # genome-scale filler rows
+                    fp.write(f"99:{i + 1}:1:N\timpact:Z:{imp[(i + 1) % 4]}"
+                             f"\tcsq:i:{i % 23}\n")
+        anno_args = ["-d", "anno.fmf", "-a", 'impact=="HIGH"&&csq>11', "-G", "-C"]
+        want = ref_md5(ref_bgt, d, anno_args, "md5-anno.txt")
+        t0 = time.time()
+        got = ours_md5(d, anno_args)
+        ex["anno_ours_s"] = round(time.time() - t0, 2)
+        ex["parity_anno"] = got == want
+        parity = parity and got == want
+        t_ref_anno = time_ref(ref_bgt, d, anno_args, 1)
+        ex["anno_ref_s"] = round(t_ref_anno, 2)
+        log(f"[{name}] annotation join (5.1M-row FMF scan): ours "
+            f"{ex['anno_ours_s']}s vs ref {t_ref_anno:.2f}s "
+            f"({t_ref_anno / max(ex['anno_ours_s'], 1e-9):.1f}x), parity "
+            f"{ex['parity_anno']}")
+
     # --- full genotype dump ---
     t_ref_dump = time_ref(ref_bgt, d, ["-C"], 1)
     t_dump, _ = time_ours(d, ["-C"], 2)

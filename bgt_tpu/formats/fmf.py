@@ -172,7 +172,14 @@ class Fmf:
         return "\t".join(parts)
 
 
-def scan_filter(fn: str, ke, name_only: bool = True):
+def scan_filter_raw(fn: str, ke):
+    """Like :func:`scan_filter` but returns the passing rows' raw name
+    bytes as (name_cat, name_off i64, name_len i32) without decoding, for
+    native downstream batch processing; None when inapplicable."""
+    return scan_filter(fn, ke, name_only=True, raw=True)
+
+
+def scan_filter(fn: str, ke, name_only: bool = True, raw: bool = False):
     """Vectorized streaming FMF filter: list of passing row names (or whole
     lines), or None when the fast path does not apply (caller falls back to
     the per-row :class:`FmfStream` loop).
@@ -185,20 +192,25 @@ def scan_filter(fn: str, ke, name_only: bool = True):
     """
     from .. import native
 
+    import numpy as np
     if ke is None:
         return None  # unfiltered pass-through: the plain loop is IO-bound
     if any(e.ttype == kexpr._FUNC for e in ke.rpn):
-        return []  # functions are unbound in FMF scans -> every row fails
+        # functions are unbound in FMF scans -> every row fails
+        return (b"", np.zeros(0, np.int64), np.zeros(0, np.int32)) if raw else []
     names = sorted(ke.var_names)
     if "_ROW_" in names:
         return None
-    import numpy as np
     res = native.fmf_scan_columns(fn, names)
     if res is None:
         return None
     n, name_cat, name_off, name_len, line_off, line_len, cols = res
+
+    def empty():
+        return (b"", np.zeros(0, np.int64), np.zeros(0, np.int32)) if raw else []
+
     if n == 0:
-        return []
+        return empty()
     env = {}
     present = np.ones(n, dtype=bool)
     for key in names:
@@ -213,7 +225,7 @@ def scan_filter(fn: str, ke, name_only: bool = True):
             from ..core.kexpr import Categorical
             env[key] = Categorical(np.maximum(sid, 0), uniq)
         elif not kinds:  # key never present: every row fails on KEE_UNVAR
-            return []
+            return empty()
         else:
             return None  # mixed string/numeric column: scalar fallback
     try:
@@ -222,6 +234,8 @@ def scan_filter(fn: str, ke, name_only: bool = True):
     except (TypeError, KeyError, ValueError):
         return None
     passing = np.nonzero(present & (np.asarray(vec) != 0))[0]
+    if raw:
+        return name_cat, name_off[passing], name_len[passing]
     if name_only:
         return [
             name_cat[name_off[i]: name_off[i] + name_len[i]].decode("latin-1")

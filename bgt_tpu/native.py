@@ -91,8 +91,59 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p]
     lib.bgt_fmf_scan_free.restype = None
     lib.bgt_fmf_scan_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_al_parse_batch.restype = ctypes.c_void_p
+    lib.bgt_al_parse_batch.argtypes = [ctypes.c_char_p] + [ctypes.c_void_p] * 2 \
+        + [ctypes.c_int64]
+    lib.bgt_al_batch_n.restype = ctypes.c_int64
+    lib.bgt_al_batch_n.argtypes = [ctypes.c_void_p]
+    lib.bgt_al_batch_data.restype = None
+    lib.bgt_al_batch_data.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.bgt_al_batch_free.restype = None
+    lib.bgt_al_batch_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def al_parse_batch(cat: bytes, off, lens):
+    """Batch-canonicalize allele specs (bgt_al_parse semantics).
+
+    Returns (key_cat: bytes, key_off i64[n+1], pos i64, rlen i32,
+    chrom_len i32) for the successfully parsed specs, or None if the
+    native library is unavailable.
+    """
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    off = np.ascontiguousarray(off, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    h = lib.bgt_al_parse_batch(cat, off.ctypes.data_as(ctypes.c_void_p),
+                               lens.ctypes.data_as(ctypes.c_void_p), off.size)
+    try:
+        n = lib.bgt_al_batch_n(h)
+        kc_p = ctypes.c_void_p()
+        ko_p = ctypes.c_void_p()
+        pos_p = ctypes.c_void_p()
+        rl_p = ctypes.c_void_p()
+        cl_p = ctypes.c_void_p()
+        lib.bgt_al_batch_data(h, ctypes.byref(kc_p), ctypes.byref(ko_p),
+                              ctypes.byref(pos_p), ctypes.byref(rl_p),
+                              ctypes.byref(cl_p))
+
+        def arr(ptr, dtype, count):
+            if count == 0:
+                return np.zeros(0, dtype=dtype)
+            ct = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+                shape=(count * np.dtype(dtype).itemsize,))
+            return ct.view(dtype).copy()
+
+        key_off = arr(ko_p, np.int64, n + 1)
+        key_cat = ctypes.string_at(kc_p, int(key_off[-1])) if n else b""
+        return (key_cat, key_off, arr(pos_p, np.int64, n),
+                arr(rl_p, np.int32, n), arr(cl_p, np.int32, n))
+    finally:
+        lib.bgt_al_batch_free(h)
 
 
 def fmf_scan_columns(path: str, keys: list[str]):

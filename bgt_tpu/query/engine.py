@@ -540,23 +540,26 @@ class BgtmReader:
                         if a is not None:
                             als.append(a)
             else:
-                from ..formats.fmf import scan_filter
-                fast = scan_filter(dbfn, ke, name_only=True)
-                if fast is not None:  # vectorized columnar scan
-                    for s in fast:
-                        a = al_parse(s)
-                        if a is not None:
-                            als.append(a)
-                else:
-                    fs = FmfStream(dbfn)
-                    while True:
-                        s = fs.read(ke, True)
-                        if s is None:
-                            break
-                        a = al_parse(s)
-                        if a is not None:
-                            als.append(a)
-                    fs.close()
+                from .. import native
+                from ..formats.fmf import scan_filter_raw
+                fast = scan_filter_raw(dbfn, ke)
+                batch = None
+                if fast is not None:
+                    cat, off, lens = fast
+                    batch = native.al_parse_batch(cat, off, lens)
+                if batch is not None:
+                    # vectorized columnar scan + native batch
+                    # canonicalization: finish set-building from the arrays
+                    return self._set_alleles_batch(batch)
+                fs = FmfStream(dbfn)
+                while True:
+                    s = fs.read(ke, True)
+                    if s is None:
+                        break
+                    a = al_parse(s)
+                    if a is not None:
+                        als.append(a)
+                fs.close()
         else:
             return -1
         if not als:
@@ -574,6 +577,37 @@ class BgtmReader:
                     diff_rid = True
         if not diff_rid and self.bgt[0].itr is None:
             self.set_region(f"{als[0].chrom}:{min_pos + 1}-{max_pos + 1}")
+        self.h_al = h
+        for g in self.bgt:
+            g.h_al = h
+        return len(h)
+
+    def _set_alleles_batch(self, batch) -> int:
+        """Finish set_alleles from native batch-parsed arrays (the tail of
+        bgtm_set_alleles, bgt.c:513-543, without per-allele Python objects)."""
+        key_cat, key_off, pos_a, rlen_a, chrom_len = batch
+        n = pos_a.size
+        if n == 0:
+            return 0
+        h: set = set()
+        off_l = key_off.tolist()
+        for i in range(n):
+            h.add(key_cat[off_l[i]: off_l[i + 1]].decode("latin-1"))
+        # region autoset requires a single chromosome across the set
+        L0 = int(chrom_len[0])
+        chrom0 = key_cat[:L0].decode("latin-1")
+        same_len = bool((chrom_len == L0).all())
+        diff_rid = not same_len
+        if same_len and n > 1:
+            starts = key_off[:-1]
+            idx = starts[:, None] + np.arange(L0)
+            cat_arr = np.frombuffer(key_cat, dtype=np.uint8)
+            chroms = cat_arr[idx]
+            diff_rid = bool((chroms != chroms[0]).any())
+        if not diff_rid and self.bgt[0].itr is None:
+            min_pos = int(pos_a.min())
+            max_pos = int(pos_a.max())
+            self.set_region(f"{chrom0}:{min_pos + 1}-{max_pos + 1}")
         self.h_al = h
         for g in self.bgt:
             g.h_al = h

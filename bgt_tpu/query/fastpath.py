@@ -350,10 +350,9 @@ def reset_shard_context() -> None:
 
 
 def applicable(opt, bm: engine.BgtmReader) -> bool:
-    return (
-        bm.h_al is None
-        and not bm.flag & (engine.F_CNT_AL | engine.F_CNT_HAP)
-    )
+    # allele sets (-a) are a site prefilter here; only the -S/-H
+    # accumulators still need the per-site general path
+    return not bm.flag & (engine.F_CNT_AL | engine.F_CNT_HAP)
 
 
 class _DbCtx:
@@ -388,7 +387,39 @@ class _DbCtx:
                 if g.bed_excl != bool(hit):
                     keep.append(r)
             rows = np.array(keep, dtype=np.int64)
+        if g.h_al is not None:
+            rows = self._al_filter(rows)
         return rows
+
+    def _al_filter(self, rows: np.ndarray) -> np.ndarray:
+        """Allele-set site prefilter (al_present, reference bgt.c:252-270):
+        keep sites whose alt (or ref) canonical key is in the -a set."""
+        st = self.st
+        h_al = self.g.h_al
+        names = {}
+        rid_l = st.rid.tolist()
+        pos_l = st.pos.tolist()
+        rlen_l = st.rlen.tolist()
+        refs = st.refs
+        alts = st.alts
+        keep = []
+        for r in rows.tolist():
+            ref = refs[r]
+            alt = alts[r]
+            min_l = min(len(ref), len(alt))
+            shift = 0
+            while shift < min_l and ref[shift] == alt[shift]:
+                shift += 1
+            rid = rid_l[r]
+            chrom = names.get(rid)
+            if chrom is None:
+                chrom = names[rid] = self.g.h_out.id_name(
+                    bcflib.BCF_DT_CTG, rid)
+            head = f"{chrom}:{pos_l[r] + shift}:{rlen_l[r] - shift}:"
+            if (head + alt[shift:].decode("latin-1") in h_al
+                    or head + ref[shift:].decode("latin-1") in h_al):
+                keep.append(r)
+        return np.array(keep, dtype=np.int64)
 
     def masks(self, n_groups: int) -> np.ndarray:
         g = self.g

@@ -168,9 +168,10 @@ def run_query(cfg: ServerConfig, form: dict):
         bm.close()
         raise
 
-    # batched path: VCF and table output without allele sets / -S / -H
+    # batched path: VCF and table output (allele sets are a site prefilter
+    # there); only -S / -H need the per-site general path
     from ..query import fastpath
-    if bm.h_al is None and not flag & (F_CNT_AL | F_CNT_HAP):
+    if not flag & (F_CNT_AL | F_CNT_HAP):
         class _Opt:
             pass
 

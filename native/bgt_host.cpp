@@ -8,6 +8,7 @@
 // Bindings: ctypes (bgt_tpu/native.py); everything falls back to the
 // vectorized-numpy paths when the library is absent.
 
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -867,5 +868,141 @@ int32_t bgt_fmf_scan_uniq(void* hv, int32_t k, const char** cat,
 }
 
 void bgt_fmf_scan_free(void* hv) { delete (FmfScan*)hv; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched allele-spec parsing (bgt_al_parse, reference bgt.c:975-1020)
+// ---------------------------------------------------------------------------
+//
+// Canonicalizes "chr:1basedPos:refLenOrSeq:seq" specs (with left/right
+// normalization against the optional ref sequence) into the key format
+// "chr:pos:rlen:al" used by the allele-set hash.  The -d annotation path
+// can select hundreds of thousands of alleles; parsing them per-Python-call
+// dominated the join, so this runs the whole batch in one native pass.
+
+namespace {
+
+struct AlBatch {
+    std::string key_cat;
+    std::vector<int64_t> key_off;  // n+1
+    std::vector<int64_t> pos;      // 0-based normalized position
+    std::vector<int32_t> rlen;
+    std::vector<int32_t> chrom_len;
+};
+
+inline bool al_parse_one(const char* s, size_t n, AlBatch& out) {
+    const char* end = s + n;
+    const char* colon = (const char*)memchr(s, ':', n);
+    if (!colon) return false;
+    size_t chrom_n = (size_t)(colon - s);
+    const char* p = colon + 1;
+    if (p >= end || !isdigit((unsigned char)*p)) return false;
+    int64_t pos = 0;
+    while (p < end && isdigit((unsigned char)*p)) pos = pos * 10 + (*p++ - '0');
+    pos -= 1;
+    if (p >= end || *p != ':') return false;
+    ++p;
+    const char* ref = nullptr;
+    size_t ref_n = 0;
+    int64_t rlen = -1;
+    if (p < end && isdigit((unsigned char)*p)) {
+        rlen = 0;
+        while (p < end && isdigit((unsigned char)*p))
+            rlen = rlen * 10 + (*p++ - '0');
+    } else if (p < end && isalpha((unsigned char)*p)) {
+        ref = p;
+        while (p < end && isalpha((unsigned char)*p)) ++p;
+        ref_n = (size_t)(p - ref);
+        rlen = (int64_t)ref_n;
+    } else if (p < end && *p == ':') {
+        rlen = -1;
+    }
+    if (p >= end || *p != ':') return false;
+    ++p;
+    const char* alt_start = p;
+    if (rlen < 0) {
+        const char* q = alt_start;
+        while (q < end && isalpha((unsigned char)*q)) ++q;
+        rlen = (int64_t)(q - alt_start);
+    }
+    // left-normalize (case-insensitive) against ref
+    size_t off = 0;
+    while (p < end && isalpha((unsigned char)*p)) {
+        if (ref && off < ref_n &&
+            toupper((unsigned char)*p) == toupper((unsigned char)ref[off])) {
+            ++off;
+            ++p;
+        } else {
+            break;
+        }
+    }
+    pos += (int64_t)off;
+    rlen -= (int64_t)off;
+    const char* alt = alt_start + off;
+    size_t alt_n = (size_t)(end - alt);
+    if (ref) {  // right-normalize
+        const char* ref2 = ref + off;
+        size_t ref2_n = ref_n - off;
+        int64_t min_l = (int64_t)alt_n < rlen ? (int64_t)alt_n : rlen;
+        int64_t off2 = 0;
+        while (off2 < min_l && rlen - 1 - off2 < (int64_t)ref2_n &&
+               isalpha((unsigned char)ref2[rlen - 1 - off2]) &&
+               toupper((unsigned char)ref2[rlen - 1 - off2]) ==
+                   toupper((unsigned char)alt[alt_n - 1 - (size_t)off2])) {
+            ++off2;
+        }
+        rlen -= off2;
+        alt_n -= (size_t)off2;
+    }
+    // emit "chrom:pos:rlen:al" (0-based pos: the internal hash-key form,
+    // Allele.fmt in engine.py)
+    char num[32];
+    out.key_cat.append(s, chrom_n);
+    out.key_cat.push_back(':');
+    out.key_cat.append(num, (size_t)snprintf(num, sizeof num, "%lld",
+                                             (long long)pos));
+    out.key_cat.push_back(':');
+    out.key_cat.append(num, (size_t)snprintf(num, sizeof num, "%lld",
+                                             (long long)rlen));
+    out.key_cat.push_back(':');
+    out.key_cat.append(alt, alt_n);
+    out.key_off.push_back((int64_t)out.key_cat.size());
+    out.pos.push_back(pos);
+    out.rlen.push_back((int32_t)rlen);
+    out.chrom_len.push_back((int32_t)chrom_n);
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bgt_al_parse_batch(const char* cat, const int64_t* off,
+                         const int32_t* len, int64_t n) {
+    auto* b = new AlBatch();
+    b->key_off.push_back(0);
+    b->key_cat.reserve((size_t)n * 16);
+    for (int64_t i = 0; i < n; ++i)
+        al_parse_one(cat + off[i], (size_t)len[i], *b);
+    return b;
+}
+
+int64_t bgt_al_batch_n(void* hv) {
+    return (int64_t)((AlBatch*)hv)->pos.size();
+}
+
+void bgt_al_batch_data(void* hv, const char** key_cat, const int64_t** key_off,
+                       const int64_t** pos, const int32_t** rlen,
+                       const int32_t** chrom_len) {
+    auto* b = (AlBatch*)hv;
+    *key_cat = b->key_cat.data();
+    *key_off = b->key_off.data();
+    *pos = b->pos.data();
+    *rlen = b->rlen.data();
+    *chrom_len = b->chrom_len.data();
+}
+
+void bgt_al_batch_free(void* hv) { delete (AlBatch*)hv; }
 
 }  // extern "C"
