@@ -343,6 +343,11 @@ def main(argv=None) -> int:
             return 0
     except BrokenPipeError:
         return 1
+    except ZeroDivisionError:
+        # the reference dies on SIGFPE here; a message is kinder
+        print(f"[E::main_{cmd}] integer division by zero in expression",
+              file=sys.stderr)
+        return 1
     except (OSError, ValueError) as e:
         # bad inputs die with a message, not a traceback (the reference
         # prints [E::func] and exits, e.g. bgt.c:65-69)

@@ -87,12 +87,32 @@ class Tok:
         self.func = None  # bound real-valued function (ke_set_real_func1/2)
 
 
-def _trunc(r: float) -> int:
-    """(int64_t)(r + .5) with C truncation toward zero."""
+INT64_MIN = -(1 << 63)
+
+
+def _c_pow(x: float, y: float) -> float:
+    """libm pow semantics: overflow -> +/-inf, domain error -> nan (python's
+    math.pow raises where C returns)."""
     try:
-        return int(r + 0.5)
+        return math.pow(x, y)
+    except OverflowError:
+        import numpy as np
+        with np.errstate(all="ignore"):
+            return float(np.power(np.float64(x), np.float64(y)))
+    except ValueError:
+        return math.nan
+
+
+def _trunc(r: float) -> int:
+    """(int64_t)(r + .5): C truncation toward zero; out-of-range/NaN casts
+    produce INT64_MIN on x86 (cvttsd2si), which the reference inherits."""
+    try:
+        v = r + 0.5
     except (OverflowError, ValueError):
-        return 0
+        return INT64_MIN
+    if v != v or v >= (1 << 63) or v < INT64_MIN:
+        return INT64_MIN
+    return int(v)
 
 
 def _c_idiv(a: int, b: int) -> int:
@@ -437,24 +457,25 @@ def _apply2(op: int, p: list, q: list) -> None:
         elif op == 21:
             p[1] = a ^ b
         elif op == 12:
-            p[1] = _wrap64(a << (b & 63)) if b >= 0 else a
+            # x86 shifts mask the count to 6 bits, negative counts included
+            p[1] = _wrap64(a << (b & 63))
         elif op == 13:
-            p[1] = a >> (b & 63) if b >= 0 else a
+            p[1] = a >> (b & 63)
         elif op == 9:
             p[1] = _c_mod(a, b)
         else:
             p[1] = _c_idiv(a, b)
         p[2] = float(p[1])
         p[0] = KEV_INT
-    elif op in (10, 11, 6):  # + - *
+    elif op in (10, 11, 6):  # + - * (int lane wraps like int64)
         if op == 10:
-            p[1] = p[1] + q[1]
+            p[1] = _wrap64(p[1] + q[1])
             p[2] = p[2] + q[2]
         elif op == 11:
-            p[1] = p[1] - q[1]
+            p[1] = _wrap64(p[1] - q[1])
             p[2] = p[2] - q[2]
         else:
-            p[1] = p[1] * q[1]
+            p[1] = _wrap64(p[1] * q[1])
             p[2] = p[2] * q[2]
         p[0] = KEV_REAL if either_real else KEV_INT
     elif op == KEO_DIV:
@@ -470,7 +491,7 @@ def _apply2(op: int, p: list, q: list) -> None:
         p[2] = float(p[1])
         p[0] = KEV_INT
     elif op == 5:  # **
-        p[2] = math.pow(p[2], q[2])
+        p[2] = _c_pow(p[2], q[2])
         p[1] = _trunc(p[2])
         p[0] = KEV_REAL if either_real else KEV_INT
 
