@@ -76,7 +76,7 @@ def get_lib():
                                      ctypes.c_void_p]
     lib.bgt_fmf_scan.restype = ctypes.c_void_p
     lib.bgt_fmf_scan.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
-                                 ctypes.c_int32]
+                                 ctypes.c_int32, ctypes.c_int32]
     lib.bgt_fmf_scan_nrows.restype = ctypes.c_int64
     lib.bgt_fmf_scan_nrows.argtypes = [ctypes.c_void_p]
     lib.bgt_fmf_scan_names.restype = None
@@ -159,7 +159,8 @@ def fmf_scan_columns(path: str, keys: list[str]):
     if lib is None:
         return None
     keys_cat = b"\x00".join(k.encode("latin-1") for k in keys) + b"\x00"
-    h = lib.bgt_fmf_scan(path.encode(), keys_cat, len(keys))
+    n_threads = int(os.environ.get("BGT_TPU_FMF_THREADS", "1"))
+    h = lib.bgt_fmf_scan(path.encode(), keys_cat, len(keys), n_threads)
     if not h:
         raise OSError(f"cannot scan FMF file '{path}'")
     try:

@@ -746,8 +746,103 @@ inline void fmf_scan_line(FmfScan* h, const char* p, size_t len, int64_t off) {
 
 extern "C" {
 
-// keys: n_keys NUL-separated key names.  Returns a scan handle or NULL.
-void* bgt_fmf_scan(const char* path, const char* keys, int32_t n_keys) {
+// merge a worker shard into dst (columns appended with string ids remapped
+// through dst's intern tables; names/offsets concatenated)
+void fmf_scan_merge(FmfScan* dst, FmfScan* src) {
+    int64_t name_base = (int64_t)dst->name_cat.size();
+    dst->name_cat += src->name_cat;
+    dst->name_len.insert(dst->name_len.end(), src->name_len.begin(),
+                         src->name_len.end());
+    for (int64_t o : src->name_off) dst->name_off.push_back(o + name_base);
+    dst->line_off.insert(dst->line_off.end(), src->line_off.begin(),
+                         src->line_off.end());
+    dst->line_len.insert(dst->line_len.end(), src->line_len.begin(),
+                         src->line_len.end());
+    for (size_t k = 0; k < dst->cols.size(); ++k) {
+        auto& a = dst->cols[k];
+        auto& b = src->cols[k];
+        // remap src string ids into dst's intern space
+        std::vector<int32_t> remap;
+        if (!b.uniq_off.empty()) {
+            size_t nb = b.uniq_off.size() - 1;
+            remap.resize(nb);
+            for (size_t i = 0; i < nb; ++i)
+                remap[i] = fmf_intern(a, b.uniq_cat.data() + b.uniq_off[i],
+                                      (size_t)(b.uniq_off[i + 1] - b.uniq_off[i]));
+        }
+        size_t base = a.vtype.size();
+        a.vtype.insert(a.vtype.end(), b.vtype.begin(), b.vtype.end());
+        a.iv.insert(a.iv.end(), b.iv.begin(), b.iv.end());
+        a.rv.insert(a.rv.end(), b.rv.begin(), b.rv.end());
+        a.sid.insert(a.sid.end(), b.sid.begin(), b.sid.end());
+        for (size_t i = base; i < a.sid.size(); ++i)
+            if (a.sid[i] >= 0) a.sid[i] = remap[(size_t)a.sid[i]];
+    }
+    dst->n_rows += src->n_rows;
+}
+
+// scan [beg, end) of a plain file (beg/end on line boundaries)
+void fmf_scan_range(FmfScan* h, const char* path, int64_t beg, int64_t end) {
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return;
+    fseeko(fp, beg, SEEK_SET);
+    size_t est = (size_t)((end - beg) / 32) + 16;
+    h->name_off.reserve(est);
+    h->name_len.reserve(est);
+    h->line_off.reserve(est);
+    h->line_len.reserve(est);
+    h->name_cat.reserve((size_t)((end - beg) / 4) + 16);
+    for (auto& c : h->cols) {
+        c.vtype.reserve(est);
+        c.iv.reserve(est);
+        c.rv.reserve(est);
+        c.sid.reserve(est);
+    }
+    std::vector<char> buf(1 << 22);
+    size_t have = 0;
+    int64_t base_off = beg;
+    int64_t remaining = end - beg;
+    for (;;) {
+        size_t want = buf.size() - have;
+        if ((int64_t)want > remaining) want = (size_t)remaining;
+        long got = (long)fread(buf.data() + have, 1, want, fp);
+        if (got < 0) break;
+        remaining -= got;
+        have += (size_t)got;
+        size_t start = 0;
+        for (;;) {
+            const char* nl = (const char*)memchr(buf.data() + start, '\n',
+                                                 have - start);
+            if (!nl) break;
+            size_t len = (size_t)(nl - (buf.data() + start));
+            if (len)
+                fmf_scan_line(h, buf.data() + start, len,
+                              base_off + (int64_t)start);
+            start = (size_t)(nl - buf.data()) + 1;
+        }
+        if (got == 0 || remaining == 0) {
+            if (have > start)
+                fmf_scan_line(h, buf.data() + start, have - start,
+                              base_off + (int64_t)start);
+            break;
+        }
+        if (start == 0 && have == buf.size()) {
+            buf.resize(buf.size() * 2);
+            continue;
+        }
+        memmove(buf.data(), buf.data() + start, have - start);
+        base_off += (int64_t)start;
+        have -= start;
+    }
+    fclose(fp);
+}
+
+// keys: n_keys NUL-separated key names; n_threads: parallel shards for
+// plain files (<=1 sequential; sharded parsing wins on many-core hosts but
+// the merge pass loses on 2-core boxes, so the caller chooses).
+// Returns a scan handle or NULL.
+void* bgt_fmf_scan(const char* path, const char* keys, int32_t n_keys,
+                   int32_t n_threads) {
     // plain files read via fread (zlib's gz layer costs ~2x on uncompressed
     // input); gzip via gzread
     FILE* raw = fopen(path, "rb");
@@ -775,6 +870,45 @@ void* bgt_fmf_scan(const char* path, const char* keys, int32_t n_keys) {
         fseeko(raw, 0, SEEK_END);
         int64_t sz = ftello(raw);
         rewind(raw);
+        // large plain files scan in parallel shards split on line
+        // boundaries; string ids are remapped at merge
+        int n_shards = (sz > (16 << 20) && n_threads > 1)
+                           ? (n_threads < 16 ? n_threads : 16) : 1;
+        if (n_shards > 1) {
+            std::vector<int64_t> bounds(n_shards + 1, 0);
+            bounds[n_shards] = sz;
+            char probe[1 << 16];
+            for (int i = 1; i < n_shards; ++i) {
+                int64_t target = sz * i / n_shards;
+                fseeko(raw, target, SEEK_SET);
+                size_t got = fread(probe, 1, sizeof probe, raw);
+                const char* nl = (const char*)memchr(probe, '\n', got);
+                bounds[i] = nl ? target + (nl - probe) + 1 : sz;
+            }
+            fclose(raw);
+            bool mono = true;
+            for (int i = 0; i < n_shards; ++i)
+                if (bounds[i] > bounds[i + 1]) mono = false;
+            if (mono) {
+                std::vector<FmfScan> shards(n_shards);
+                for (auto& sh : shards) {
+                    sh.keys = h->keys;
+                    sh.cols.resize(n_keys);
+                }
+                std::vector<std::thread> ts;
+                for (int i = 0; i < n_shards; ++i)
+                    ts.emplace_back(fmf_scan_range, &shards[i], path,
+                                    bounds[i], bounds[i + 1]);
+                for (auto& t : ts) t.join();
+                for (auto& sh : shards) fmf_scan_merge(h, &sh);
+                return h;
+            }
+            raw = fopen(path, "rb");  // fall back to the sequential scan
+            if (!raw) {
+                delete h;
+                return nullptr;
+            }
+        }
         size_t est = (size_t)(sz / 32) + 16;
         h->name_off.reserve(est);
         h->name_len.reserve(est);
