@@ -121,6 +121,8 @@ class BgtReader:
         self.gtag = np.zeros(bf.f.n_rows, dtype=np.uint32)
         self.h_out: bcflib.BcfHeader | None = None
         self.h_al: set | None = None
+        self._ts: object = False  # packed tile store, opened lazily
+        self._sub_cols: np.ndarray | None = None
         self._seekn(0)
 
     def close(self):
@@ -219,6 +221,7 @@ class BgtReader:
         cols[0::2] = self.out * 2
         cols[1::2] = self.out * 2 + 1
         self.pb.subset(cols)
+        self._sub_cols = cols
         self._b0_unread = True
 
     # --- reading -----------------------------------------------------------
@@ -279,15 +282,34 @@ class BgtReader:
             return row
 
     def read_rec(self):
-        """(b0, a0, a1) for the next passing site, or None (bgt_read_rec)."""
+        """(b0, a0, a1) for the next passing site, or None (bgt_read_rec).
+
+        Genotypes come from the packed tile store when available (random
+        row access at memory speed) instead of the sequential PBWT
+        decode+seek; the bytes are identical (tests pin both paths).
+        """
         if self.n_out == 0:
             return None
         row = self._read_site()
         if row < 0:
             return None
+        ts = self._tiles()
+        if ts is not None:
+            codes = ts.codes(np.array([row]), self._sub_cols)[0]
+            return (self.b0, codes & 1, codes >> 1)
         self.pb.seek(row)
         planes = self.pb.read_row()
         return (self.b0, planes[0], planes[1])
+
+    def _tiles(self):
+        """Lazily-opened packed tile store; None if unavailable."""
+        if self._ts is False:
+            try:
+                from . import fastpath
+                self._ts = fastpath.get_tiles(self.f)
+            except Exception:  # noqa: BLE001 - PBWT reader remains the fallback
+                self._ts = None
+        return self._ts
 
 
 # ---------------------------------------------------------------------------

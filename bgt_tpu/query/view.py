@@ -147,8 +147,12 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
             # the reference builds mode "wb%d" % clevel; mode2level picks the
             # first digit, so the default clevel=-1 yields level 1 (view.c:145)
             level = 1 if clevel < 0 else clevel
+            import os as _os
             raw = out.buffer if hasattr(out, "buffer") else out
-            bgzf_out = BgzfWriter(raw, level)
+            # pooled block compression (ordered writeback): same bytes,
+            # the reference's bgzf_mt equivalent (bgzf.c:381-535)
+            bgzf_out = BgzfWriter(raw, level,
+                                  threads=min(_os.cpu_count() or 1, 4))
             bm.h_out.write_bcf(bgzf_out)
         else:
             out.write(bm.h_out.vcf_text())
