@@ -110,14 +110,10 @@ class _Null(io.TextIOBase):
 
     def __init__(self):
         self.n = 0
-        outer = self
 
         class B:
             def write(b, data):
-                # zero-copy newline count (chunks can be ~GB memoryviews)
-                import numpy as _np
-                outer.n += int((_np.frombuffer(data, _np.uint8) == 10).sum())
-                return len(data)
+                return len(data)  # timing sink: no byte scans on GB chunks
 
             def flush(b):
                 pass
