@@ -220,6 +220,40 @@ def test_multi_db_merge_parity(tmp_path, ref_bgt):
         assert buf.getvalue() == ref.stdout.decode(), f"args {args}"
 
 
+def test_multi_db_allele_set_parity(tmp_path, ref_bgt):
+    """-a allele sets joint with the multi-DB merge (the fastpath allele
+    prefilter must match al_present under the k-way merge)."""
+    v1 = testing.random_vcf(n_samples=7, n_sites=100, seed=41, sample_prefix="A")
+    v2 = testing.random_vcf(n_samples=5, n_sites=90, seed=42, sample_prefix="B")
+    (tmp_path / "a.vcf").write_text(v1)
+    (tmp_path / "b.vcf").write_text(v2)
+    for name in ("a", "b"):
+        res = subprocess.run([ref_bgt, "import", "-S", f"ref{name}", f"{name}.vcf"],
+                             cwd=tmp_path, capture_output=True)
+        assert res.returncode == 0, res.stderr.decode()
+        importer.import_vcf(str(tmp_path / f"our{name}"),
+                            [str(tmp_path / f"{name}.vcf")], is_vcf=True)
+    keys = subprocess.run([ref_bgt, "getalt", "refa"], cwd=tmp_path,
+                          capture_output=True).stdout.decode().splitlines()
+    keys += subprocess.run([ref_bgt, "getalt", "refb"], cwd=tmp_path,
+                           capture_output=True).stdout.decode().splitlines()
+    pick = ",".join(keys[2:20:3])
+    for args in (["-a," + pick, "-C"], ["-a," + pick, "-C", "-G"]):
+        ref = subprocess.run([ref_bgt, "view"] + args + ["refa", "refb"],
+                             cwd=tmp_path, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        buf = io.StringIO()
+        import os
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            ret = main_view(args + ["oura", "ourb"], out=buf)
+        finally:
+            os.chdir(old)
+        assert ret == 0
+        assert buf.getvalue() == ref.stdout.decode(), f"args {args}"
+
+
 def test_cross_reading(db, ref_bgt):
     """The reference binary must be able to query OUR database files."""
     ref_on_ours = subprocess.run([ref_bgt, "view", "-C", "ourdb"], cwd=db,
