@@ -91,6 +91,22 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p]
     lib.bgt_fmf_scan_free.restype = None
     lib.bgt_fmf_scan_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_emit_bcf_records.restype = ctypes.c_int64
+    lib.bgt_emit_bcf_records.argtypes = (
+        [ctypes.c_int64] + [ctypes.c_void_p] * 3            # rid, pos, rlen
+        + [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p] * 2  # ref, alt
+        + [ctypes.c_void_p] * 2                             # n_allele, end
+        + [ctypes.c_int32] * 2                              # info_on, groups
+        + [ctypes.c_void_p] * 6                             # an..gac_m
+        + [ctypes.c_int32] * 3 + [ctypes.c_void_p] * 2      # ids
+        + [ctypes.c_int32]                                  # gt_id
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # planes
+        + [ctypes.c_void_p, ctypes.c_int64]                 # cols
+        + [ctypes.c_char_p, ctypes.c_int64])                # out
+    lib.bgt_emit_bcf_records_mt.restype = ctypes.c_int64
+    lib.bgt_emit_bcf_records_mt.argtypes = (
+        lib.bgt_emit_bcf_records.argtypes
+        + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p])
     lib.bgt_al_parse_batch.restype = ctypes.c_void_p
     lib.bgt_al_parse_batch.argtypes = [ctypes.c_char_p] + [ctypes.c_void_p] * 2 \
         + [ctypes.c_int64]
@@ -102,6 +118,103 @@ def get_lib():
     lib.bgt_al_batch_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def emit_bcf_records(rid, pos, rlen, ref_cat, ref_off, ref_len,
+                     alt_cat, alt_off, alt_len, n_allele, end_val,
+                     info_on, n_groups, an, ac, ac_m, gan, gac, gac_m,
+                     end_id, an_id, ac_id, gan_ids, gac_ids,
+                     gt_id, gt_planes):
+    """Native batched BCF record serialization; returns a list of byte
+    chunks (uint8 views into the reusable emit buffer) whose concatenation
+    is the record stream, or None when the library is unavailable.
+    ``gt_planes``: (p0_rows, p1_rows, cols) or None for no-genotype
+    records."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(pos)
+
+    arrs64 = [np.ascontiguousarray(a, dtype=np.int64) for a in
+              (pos, rlen, ref_off, alt_off, end_val, an, ac, ac_m)]
+    arrs32 = [np.ascontiguousarray(a, dtype=np.int32) for a in
+              (rid, ref_len, alt_len, n_allele)]
+    gptr = [None, None, None]
+    if gan is not None:
+        for j, g in enumerate((gan, gac, gac_m)):
+            ga = np.ascontiguousarray(g, dtype=np.int64)
+            arrs64.append(ga)
+            gptr[j] = ga.ctypes.data_as(ctypes.c_void_p)
+    gid_arrs = [np.ascontiguousarray(a, dtype=np.int32)
+                for a in (gan_ids, gac_ids)]
+    gp0 = gp1 = gcols = None
+    gt_words = 0
+    n_pairs = 0
+    if gt_planes is not None:
+        p0_rows, p1_rows, cols = gt_planes
+        p0_rows = np.ascontiguousarray(p0_rows, dtype=np.uint32)
+        p1_rows = np.ascontiguousarray(p1_rows, dtype=np.uint32)
+        cols32 = np.ascontiguousarray(cols, dtype=np.int32)
+        arrs64 += [p0_rows, p1_rows]
+        arrs32.append(cols32)
+        gp0 = p0_rows.ctypes.data_as(ctypes.c_void_p)
+        gp1 = p1_rows.ctypes.data_as(ctypes.c_void_p)
+        gcols = cols32.ctypes.data_as(ctypes.c_void_p)
+        gt_words = p0_rows.shape[1]
+        n_pairs = cols32.size // 2
+    fixed = 80 + (n_groups + 1) * 40 + (2 * n_pairs + 8 if n_pairs else 0)
+    common = (
+        arrs32[0].ctypes.data_as(ctypes.c_void_p),
+        arrs64[0].ctypes.data_as(ctypes.c_void_p),
+        arrs64[1].ctypes.data_as(ctypes.c_void_p),
+        ref_cat, arrs64[2].ctypes.data_as(ctypes.c_void_p),
+        arrs32[1].ctypes.data_as(ctypes.c_void_p),
+        alt_cat, arrs64[3].ctypes.data_as(ctypes.c_void_p),
+        arrs32[2].ctypes.data_as(ctypes.c_void_p),
+        arrs32[3].ctypes.data_as(ctypes.c_void_p),
+        arrs64[4].ctypes.data_as(ctypes.c_void_p),
+        int(info_on), int(n_groups),
+        arrs64[5].ctypes.data_as(ctypes.c_void_p),
+        arrs64[6].ctypes.data_as(ctypes.c_void_p),
+        arrs64[7].ctypes.data_as(ctypes.c_void_p),
+        gptr[0], gptr[1], gptr[2],
+        int(end_id), int(an_id), int(ac_id),
+        gid_arrs[0].ctypes.data_as(ctypes.c_void_p),
+        gid_arrs[1].ctypes.data_as(ctypes.c_void_p),
+        int(gt_id),
+        gp0, gp1, gt_words, gcols, n_pairs,
+    )
+    import os as _os
+    n_threads = 1 if n * fixed < (8 << 20) else min(_os.cpu_count() or 1, 16)
+    n_threads = max(1, min(n_threads, n or 1))
+    if n_threads == 1:
+        cap = int(arrs32[1].sum() + arrs32[2].sum() + n * fixed + 1024)
+        buf = _emit_buffer(cap)
+        ret = lib.bgt_emit_bcf_records(
+            n, *common, buf.ctypes.data_as(ctypes.c_char_p), cap)
+        if ret < 0:
+            raise OSError("bcf emit buffer overflow")
+        return [buf[:ret]]
+    bounds = (arrs32[1].astype(np.int64) + arrs32[2] + fixed)
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(bounds, out=cum[1:])
+    chunk_bounds = np.linspace(0, n, n_threads + 1).astype(np.int64)
+    chunk_caps = cum[chunk_bounds[1:]] - cum[chunk_bounds[:-1]] + 1024
+    chunk_offs = np.zeros(n_threads, dtype=np.int64)
+    np.cumsum(chunk_caps[:-1], out=chunk_offs[1:])
+    cap = int(chunk_offs[-1] + chunk_caps[-1])
+    buf = _emit_buffer(cap)
+    chunk_lens = np.empty(n_threads, dtype=np.int64)
+    ret = lib.bgt_emit_bcf_records_mt(
+        n, *common, buf.ctypes.data_as(ctypes.c_char_p), cap,
+        n_threads, chunk_bounds.ctypes.data_as(ctypes.c_void_p),
+        chunk_offs.ctypes.data_as(ctypes.c_void_p),
+        chunk_lens.ctypes.data_as(ctypes.c_void_p))
+    if ret < 0:
+        raise OSError("bcf emit buffer overflow")
+    return [buf[int(chunk_offs[c]): int(chunk_offs[c] + chunk_lens[c])]
+            for c in range(n_threads)]
 
 
 def al_parse_batch(cat: bytes, off, lens):

@@ -123,6 +123,8 @@ class BgtReader:
         self.h_al: set | None = None
         self._ts: object = False  # packed tile store, opened lazily
         self._sub_cols: np.ndarray | None = None
+        self._sub_words: np.ndarray | None = None
+        self._sub_shift: np.ndarray | None = None
         self._seekn(0)
 
     def close(self):
@@ -222,6 +224,7 @@ class BgtReader:
         cols[1::2] = self.out * 2 + 1
         self.pb.subset(cols)
         self._sub_cols = cols
+        self._sub_words = None  # re-derived on next read
         self._b0_unread = True
 
     # --- reading -----------------------------------------------------------
@@ -295,8 +298,17 @@ class BgtReader:
             return None
         ts = self._tiles()
         if ts is not None:
-            codes = ts.codes(np.array([row]), self._sub_cols)[0]
-            return (self.b0, codes & 1, codes >> 1)
+            # direct bit gather of just the subset columns (no full-row
+            # unpack): word = col>>5, bit = col&31
+            if self._sub_words is None:
+                cols = self._sub_cols
+                self._sub_words = (cols >> 5).astype(np.int64)
+                self._sub_shift = (cols & 31).astype(np.uint32)
+            w0 = ts.plane0[row][self._sub_words]
+            w1 = ts.plane1[row][self._sub_words]
+            a0 = ((w0 >> self._sub_shift) & 1).astype(np.uint8)
+            a1 = ((w1 >> self._sub_shift) & 1).astype(np.uint8)
+            return (self.b0, a0, a1)
         self.pb.seek(row)
         planes = self.pb.read_row()
         return (self.b0, planes[0], planes[1])

@@ -223,6 +223,49 @@ def _hbm_budget() -> int:
     return 8 << 30
 
 
+_DEVICE_OK: list = [None]
+
+
+def device_available() -> bool:
+    """True when an accelerator backend can be initialized (cached).  The
+    tunneled TPU can be transiently unreachable; host popcount then serves
+    the count tiers instead of failing the query."""
+    if _DEVICE_OK[0] is None:
+        try:
+            import jax
+            jax.devices()
+            _DEVICE_OK[0] = True
+        except RuntimeError:
+            _DEVICE_OK[0] = False
+    return _DEVICE_OK[0]
+
+
+def host_counts(ts: TileStore, rows: np.ndarray, masks: np.ndarray,
+                chunk_rows: int = 16384) -> np.ndarray:
+    """CPU masked-popcount counts (same math as the device kernel)."""
+    n_g = masks.shape[0]
+    out = np.empty((rows.size, n_g, 4), dtype=np.int32)
+    tot = np.bitwise_count(masks).sum(axis=1, dtype=np.int32)
+    for lo in range(0, rows.size, chunk_rows):
+        sl = rows[lo: lo + chunk_rows]
+        p0 = ts.plane0[sl]
+        p1 = ts.plane1[sl]
+        both = p0 & p1
+        for gi in range(n_g):
+            m = masks[gi]
+            n10 = np.bitwise_count(p0 & m).sum(axis=1, dtype=np.int32)
+            n11 = np.bitwise_count(p1 & m).sum(axis=1, dtype=np.int32)
+            nb = np.bitwise_count(both & m).sum(axis=1, dtype=np.int32)
+            cnt1 = n10 - nb
+            cnt2 = n11 - nb
+            blk = out[lo: lo + sl.size, gi]
+            blk[:, 0] = tot[gi] - cnt1 - cnt2 - nb
+            blk[:, 1] = cnt1
+            blk[:, 2] = cnt2
+            blk[:, 3] = nb
+    return out
+
+
 def get_device_tiles(bf: engine.BgtFile) -> DeviceTiles | None:
     """Device-resident planes, or None when they exceed the HBM budget
     (queries then stream row chunks through the device instead)."""
@@ -465,6 +508,13 @@ class _DbCtx:
         if hit is not None:
             return hit[rows]
         memo_ok = ts.n_rows * masks.shape[0] * 16 <= _COUNT_MEMO_BYTES
+        if not device_available():
+            counts = host_counts(ts, np.arange(ts.n_rows) if memo_ok else rows,
+                                 masks)
+            if memo_ok:
+                _COUNT_MEMO[memo_key] = counts
+                return counts[rows]
+            return counts
         start = int(rows[0])
         span = int(rows[-1]) + 1 - start
         if memo_ok:
@@ -707,6 +757,15 @@ class FastView:
         if sel.size == 0:
             return
 
+        bcf_writer = getattr(opt, "bcf_writer", None)
+        if bcf_writer is not None:
+            self._emit_bcf(bcf_writer, sel, mv, an, ac, ac_m,
+                           gan if n_groups > 1 else None,
+                           gac if n_groups > 1 else None,
+                           gac_m if n_groups > 1 else None,
+                           info_on, no_gt)
+            return
+
         if bm.fields:  # -t table mode: exact scalar field evaluation
             gen = self._compile_fields(counts, mv)
             write = out.write
@@ -868,6 +927,50 @@ class FastView:
             ap(line)
         ap("")
         out.write("\n".join(parts))
+
+    def _emit_bcf(self, writer, sel, mv: MergedSites, an, ac, ac_m,
+                  gan, gac, gac_m, info_on, no_gt) -> None:
+        """Batched binary BCF record emission (single DB, native)."""
+        from .. import native
+        bm = self.bm
+        ctx = self.dbs[0]
+        gt_planes = None
+        if not no_gt:
+            cols = ctx.gt_cols(np.asarray(bm.mgs))
+            if cols.size:
+                ts = ctx.ts
+                rows = mv.pres[sel, 0]
+                if (rows.size == ts.n_rows and rows.size
+                        and rows[0] == 0 and rows[-1] == ts.n_rows - 1):
+                    gt_planes = (ts.plane0, ts.plane1, cols)
+                else:
+                    gt_planes = (ts.plane0[rows], ts.plane1[rows], cols)
+        h = bm.h_out
+        n_groups = bm.n_groups
+        gan_ids = [h.id2int(bcflib.BCF_DT_ID, f"AN{g + 1}")
+                   for g in range(n_groups)]
+        gac_ids = [h.id2int(bcflib.BCF_DT_ID, f"AC{g + 1}")
+                   for g in range(n_groups)]
+        end_val = np.where(mv.ref_len[sel] != mv.rlen[sel],
+                           mv.pos[sel] + mv.rlen[sel], -1)
+        data = native.emit_bcf_records(
+            mv.rid[sel], mv.pos[sel], mv.rlen[sel],
+            mv.ref_cat, mv.ref_off[sel], mv.ref_len[sel].astype(np.int32),
+            mv.alt_cat, mv.alt_off[sel], mv.alt_len[sel].astype(np.int32),
+            mv.n_allele[sel], end_val,
+            int(bool(info_on)), n_groups,
+            an[sel], ac[sel], ac_m[sel],
+            gan[sel] if gan is not None else None,
+            gac[sel] if gac is not None else None,
+            gac_m[sel] if gac_m is not None else None,
+            h.id2int(bcflib.BCF_DT_ID, "END"),
+            h.id2int(bcflib.BCF_DT_ID, "AN"),
+            h.id2int(bcflib.BCF_DT_ID, "AC"),
+            gan_ids, gac_ids,
+            h.id2int(bcflib.BCF_DT_ID, "GT"),
+            gt_planes)
+        for chunk in data:
+            writer.write(memoryview(chunk))
 
     def _truncate_server(self, mv: MergedSites, sel: np.ndarray,
                          max_gt: int | None, max_read: int | None):

@@ -158,11 +158,18 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
             out.write(bm.h_out.vcf_text())
             wr = out
 
-    # batched device path for single-DB text queries
-    if bgzf_out is None:
-        from . import fastpath
-        if fastpath.applicable(opt, bm):
+    # batched device path (text always; binary BCF for single-DB native)
+    from . import fastpath
+    if fastpath.applicable(opt, bm):
+        if bgzf_out is None:
             fastpath.FastView(bm, opt).run(out)
+            bm.close()
+            return 0
+        from .. import native
+        if len(bfiles) == 1 and native.get_lib() is not None:
+            opt.bcf_writer = bgzf_out
+            fastpath.FastView(bm, opt).run(out)
+            bgzf_out.close()
             bm.close()
             return 0
 

@@ -1140,3 +1140,263 @@ void bgt_al_batch_data(void* hv, const char** key_cat, const int64_t** key_off,
 void bgt_al_batch_free(void* hv) { delete (AlBatch*)hv; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched BCF record emission (the binary twin of bgt_emit_vcf_lines)
+// ---------------------------------------------------------------------------
+//
+// Serializes output records of a single-database query straight from the
+// columnar site arrays + packed genotype planes, mirroring the byte layout
+// the engine's per-record writer produces (formats/bcf.py Bcf1.write +
+// enc_* typed encoders; reference vcf.c:316-360, bcf_enc_*):
+//   32B fixed header | shared: id(.)=0x07, alleles, FILTER(.)=0x00, INFO |
+//   indiv: GT key + size2|INT8 + 2 bytes/sample (bgt_bits2gt).
+// Import always writes ID="." and FILTER="." site records, which is what
+// the text fastpath already relies on.
+
+namespace {
+
+inline char* benc_size(char* p, int64_t size, int btype) {
+    if (size >= 15) {
+        *p++ = (char)(15 << 4 | btype);
+        if (size >= 128) {
+            if (size >= 32768) {
+                *p++ = (char)(1 << 4 | 3);
+                memcpy(p, &size, 4);  // little-endian int32
+                p += 4;
+            } else {
+                int16_t v = (int16_t)size;
+                *p++ = (char)(1 << 4 | 2);
+                memcpy(p, &v, 2);
+                p += 2;
+            }
+        } else {
+            *p++ = (char)(1 << 4 | 1);
+            *p++ = (char)size;
+        }
+    } else {
+        *p++ = (char)(size << 4 | btype);
+    }
+    return p;
+}
+
+inline char* benc_int1(char* p, int64_t x) {
+    if (x == -2147483648LL) {
+        p = benc_size(p, 1, 1);
+        *p++ = (char)0x80;
+    } else if (x > -128 && x <= 127) {
+        p = benc_size(p, 1, 1);
+        *p++ = (char)x;
+    } else if (x > -32768 && x <= 32767) {
+        int16_t v = (int16_t)x;
+        p = benc_size(p, 1, 2);
+        memcpy(p, &v, 2);
+        p += 2;
+    } else {
+        int32_t v = (int32_t)x;
+        p = benc_size(p, 1, 3);
+        memcpy(p, &v, 4);
+        p += 4;
+    }
+    return p;
+}
+
+inline char* benc_vint(char* p, const int64_t* vals, int n) {
+    if (n == 0) return benc_size(p, 0, 0);
+    if (n == 1) return benc_int1(p, vals[0]);
+    int64_t vmax = -2147483647LL, vmin = 2147483647LL;
+    for (int i = 0; i < n; ++i) {
+        int64_t v = vals[i];
+        if (v == -2147483648LL || v == -2147483647LL) continue;
+        if (v > vmax) vmax = v;
+        if (v < vmin) vmin = v;
+    }
+    if (vmax <= 127 && vmin > -127) {
+        p = benc_size(p, n, 1);
+        for (int i = 0; i < n; ++i) {
+            int64_t v = vals[i];
+            char b = v == -2147483647LL ? (char)0x81
+                     : v == -2147483648LL ? (char)0x80 : (char)v;
+            *p++ = b;
+        }
+    } else if (vmax <= 32767 && vmin > -32767) {
+        p = benc_size(p, n, 2);
+        for (int i = 0; i < n; ++i) {
+            int64_t v = vals[i];
+            int16_t b = v == -2147483647LL ? (int16_t)-32767
+                        : v == -2147483648LL ? (int16_t)-32768 : (int16_t)v;
+            memcpy(p, &b, 2);
+            p += 2;
+        }
+    } else {
+        p = benc_size(p, n, 3);
+        for (int i = 0; i < n; ++i) {
+            int32_t b = (int32_t)vals[i];
+            memcpy(p, &b, 4);
+            p += 4;
+        }
+    }
+    return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t bgt_emit_bcf_records(
+    int64_t n,
+    const int32_t* rid, const int64_t* pos, const int64_t* rlen,
+    const char* ref_bytes, const int64_t* ref_off, const int32_t* ref_len,
+    const char* alt_bytes, const int64_t* alt_off, const int32_t* alt_len,
+    const int32_t* n_allele, const int64_t* end_val,
+    int32_t info_on, int32_t n_groups,
+    const int64_t* an, const int64_t* ac, const int64_t* ac_m,
+    const int64_t* gan, const int64_t* gac, const int64_t* gac_m,
+    int32_t end_id, int32_t an_id, int32_t ac_id,
+    const int32_t* gan_ids, const int32_t* gac_ids,
+    int32_t gt_id,
+    const uint32_t* gt_p0, const uint32_t* gt_p1, int64_t gt_words,
+    const int32_t* gt_cols, int64_t n_gt_pairs,
+    char* out, int64_t cap) {
+    static const char bits2gt[4] = {2, 4, 0, 6};
+    char* p = out;
+    char* lim = out + cap;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t bound = 32 + 16 + ref_len[i] + alt_len[i] + 16 +
+                        (int64_t)(n_groups + 1) * 40 +
+                        (n_gt_pairs ? 8 + 2 * n_gt_pairs : 0);
+        if (p + bound > lim) return -1;
+        char* hdr = p;  // 32-byte fixed header, lengths patched at the end
+        p += 32;
+        char* shared0 = p;
+        *p++ = 0x07;  // id "." = empty CHAR vector
+        p = benc_size(p, ref_len[i], 7);
+        memcpy(p, ref_bytes + ref_off[i], ref_len[i]);
+        p += ref_len[i];
+        p = benc_size(p, alt_len[i], 7);
+        memcpy(p, alt_bytes + alt_off[i], alt_len[i]);
+        p += alt_len[i];
+        bool multi = n_allele[i] > 2;
+        if (multi) {
+            p = benc_size(p, 3, 7);
+            memcpy(p, "<M>", 3);
+            p += 3;
+        }
+        *p++ = 0x00;  // FILTER "." = empty NULL vector
+        int n_info = 0;
+        if (end_val[i] >= 0) {
+            p = benc_int1(p, end_id);
+            p = benc_int1(p, end_val[i]);
+            ++n_info;
+        }
+        if (info_on) {
+            p = benc_int1(p, an_id);
+            p = benc_int1(p, an[i]);
+            ++n_info;
+            p = benc_int1(p, ac_id);
+            int64_t acv[2] = {ac[i], ac_m[i]};
+            p = benc_vint(p, acv, multi ? 2 : 1);
+            ++n_info;
+            for (int32_t g = 0; n_groups > 1 && g < n_groups; ++g) {
+                p = benc_int1(p, gan_ids[g]);
+                p = benc_int1(p, gan[i * n_groups + g]);
+                ++n_info;
+                p = benc_int1(p, gac_ids[g]);
+                int64_t gv[2] = {gac[i * n_groups + g],
+                                 gac_m[i * n_groups + g]};
+                p = benc_vint(p, gv, multi ? 2 : 1);
+                ++n_info;
+            }
+        }
+        int64_t l_shared = p - shared0;
+        char* indiv0 = p;
+        if (n_gt_pairs) {
+            p = benc_int1(p, gt_id);
+            p = benc_size(p, 2, 1);
+            const uint32_t* r0 = gt_p0 + i * gt_words;
+            const uint32_t* r1 = gt_p1 + i * gt_words;
+            for (int64_t s = 0; s < n_gt_pairs; ++s) {
+                uint32_t j0 = (uint32_t)gt_cols[2 * s];
+                uint32_t j1 = (uint32_t)gt_cols[2 * s + 1];
+                unsigned c0 = ((r0[j0 >> 5] >> (j0 & 31)) & 1u) |
+                              (((r1[j0 >> 5] >> (j0 & 31)) & 1u) << 1);
+                unsigned c1 = ((r0[j1 >> 5] >> (j1 & 31)) & 1u) |
+                              (((r1[j1 >> 5] >> (j1 & 31)) & 1u) << 1);
+                *p++ = bits2gt[c0];
+                *p++ = bits2gt[c1];
+            }
+        }
+        int64_t l_indiv = p - indiv0;
+        uint32_t h0 = (uint32_t)(l_shared + 24);
+        uint32_t h1 = (uint32_t)l_indiv;
+        int32_t v32;
+        memcpy(hdr, &h0, 4);
+        memcpy(hdr + 4, &h1, 4);
+        v32 = rid[i];
+        memcpy(hdr + 8, &v32, 4);
+        v32 = (int32_t)pos[i];
+        memcpy(hdr + 12, &v32, 4);
+        v32 = (int32_t)rlen[i];
+        memcpy(hdr + 16, &v32, 4);
+        uint32_t qual_bits = 0;
+        memcpy(hdr + 20, &qual_bits, 4);
+        uint32_t nai = ((uint32_t)n_allele[i] << 16) | (uint32_t)n_info;
+        memcpy(hdr + 24, &nai, 4);
+        uint32_t nfs = n_gt_pairs
+                           ? ((1u << 24) | (uint32_t)n_gt_pairs)
+                           : 0u;
+        memcpy(hdr + 28, &nfs, 4);
+    }
+    return p - out;
+}
+
+}  // extern "C"
+
+// Multithreaded BCF record emission: chunk c of sites emits at
+// out + chunk_offs[c]; the caller concatenates the slices (same scheme as
+// bgt_emit_vcf_lines_mt).
+extern "C" int64_t bgt_emit_bcf_records_mt(
+    int64_t n,
+    const int32_t* rid, const int64_t* pos, const int64_t* rlen,
+    const char* ref_bytes, const int64_t* ref_off, const int32_t* ref_len,
+    const char* alt_bytes, const int64_t* alt_off, const int32_t* alt_len,
+    const int32_t* n_allele, const int64_t* end_val,
+    int32_t info_on, int32_t n_groups,
+    const int64_t* an, const int64_t* ac, const int64_t* ac_m,
+    const int64_t* gan, const int64_t* gac, const int64_t* gac_m,
+    int32_t end_id, int32_t an_id, int32_t ac_id,
+    const int32_t* gan_ids, const int32_t* gac_ids,
+    int32_t gt_id,
+    const uint32_t* gt_p0, const uint32_t* gt_p1, int64_t gt_words,
+    const int32_t* gt_cols, int64_t n_gt_pairs,
+    char* out, int64_t cap,
+    int32_t n_chunks, const int64_t* chunk_bounds, const int64_t* chunk_offs,
+    int64_t* chunk_lens) {
+    (void)n;
+    std::vector<std::thread> ts;
+    ts.reserve(n_chunks);
+    for (int32_t c = 0; c < n_chunks; ++c) {
+        int64_t lo = chunk_bounds[c], hi = chunk_bounds[c + 1];
+        int64_t off = chunk_offs[c];
+        int64_t ccap = (c + 1 < n_chunks ? chunk_offs[c + 1] : cap) - off;
+        ts.emplace_back([=]() {
+            chunk_lens[c] = bgt_emit_bcf_records(
+                hi - lo, rid + lo, pos + lo, rlen + lo,
+                ref_bytes, ref_off + lo, ref_len + lo,
+                alt_bytes, alt_off + lo, alt_len + lo,
+                n_allele + lo, end_val + lo, info_on, n_groups,
+                an + lo, ac + lo, ac_m + lo,
+                gan ? gan + lo * n_groups : nullptr,
+                gac ? gac + lo * n_groups : nullptr,
+                gac_m ? gac_m + lo * n_groups : nullptr,
+                end_id, an_id, ac_id, gan_ids, gac_ids, gt_id,
+                gt_p0 ? gt_p0 + lo * gt_words : nullptr,
+                gt_p1 ? gt_p1 + lo * gt_words : nullptr,
+                gt_words, gt_cols, n_gt_pairs, out + off, ccap);
+        });
+    }
+    for (auto& t : ts) t.join();
+    for (int32_t c = 0; c < n_chunks; ++c)
+        if (chunk_lens[c] < 0) return -1;
+    return 0;
+}
