@@ -293,6 +293,18 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
             f"({t_ref_anno / max(ex['anno_ours_s'], 1e-9):.1f}x), parity "
             f"{ex['parity_anno']}")
 
+    # --- binary BCF dump (view -b): native batched record emission ---
+    want = ref_md5(ref_bgt, d, ["-b"], "md5-bcf.txt")
+    got = ours_md5(d, ["-b"])
+    ex["parity_bcf"] = want == got
+    parity = parity and want == got
+    t_ref_bcf = time_ref(ref_bgt, d, ["-b"], 1)
+    t_bcf, _ = time_ours(d, ["-b"], 2)
+    ex["bcf_ref_s"] = round(t_ref_bcf, 2)
+    ex["bcf_ours_s"] = round(t_bcf, 2)
+    log(f"[{name}] view -b (binary): ours {t_bcf:.2f}s vs ref "
+        f"{t_ref_bcf:.2f}s ({t_ref_bcf / t_bcf:.1f}x), parity {ex['parity_bcf']}")
+
     # --- full genotype dump ---
     t_ref_dump = time_ref(ref_bgt, d, ["-C"], 1)
     t_dump, _ = time_ours(d, ["-C"], 3)  # run 1 faults the memmapped planes
