@@ -8,9 +8,15 @@ import subprocess
 
 import pytest
 
-from bgt_tpu import cli
+from bgt_tpu import cli, native
 from bgt_tpu.core import kexpr
 from bgt_tpu.formats import fmf
+
+# without the native scanner the fast path (correctly) reports itself
+# inapplicable and the per-row loop serves every query — covered by the
+# annotation-join parity tests, which run in both modes
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native library unavailable")
 
 
 def scalar_names(fn, expr, name_only=True):
