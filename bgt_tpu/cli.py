@@ -294,10 +294,7 @@ def main_kexpr(argv, out=None, err=None) -> int:
     if t == kexpr.KEV_INT:
         out.write(f"{i}\n")
     elif t == kexpr.KEV_REAL:
-        if r != r and math.copysign(1.0, r) < 0:
-            out.write("-nan\n")  # glibc %g prints the NaN sign bit
-        else:
-            out.write("%g\n" % r)
+        out.write(kexpr.fmt_real(r) + "\n")
     else:
         out.write(f"{s}\n")
     return 0

@@ -91,16 +91,30 @@ INT64_MIN = -(1 << 63)
 
 
 def _c_pow(x: float, y: float) -> float:
-    """libm pow semantics: overflow -> +/-inf, domain error -> nan (python's
-    math.pow raises where C returns)."""
+    """libm pow semantics: overflow -> +/-inf, domain error -> the x86
+    default (negative) quiet NaN (python's math.pow raises where C
+    returns); numpy's float64 ops reproduce both exactly."""
     try:
         return math.pow(x, y)
-    except OverflowError:
+    except (OverflowError, ValueError):
         import numpy as np
         with np.errstate(all="ignore"):
             return float(np.power(np.float64(x), np.float64(y)))
-    except ValueError:
-        return math.nan
+
+
+def fmt_real(r: float) -> str:
+    """C printf %g including the x86 -nan sign (glibc prints it)."""
+    if r != r and math.copysign(1.0, r) < 0:
+        return "-nan"
+    return "%g" % r
+
+
+def _c_div(x: float, y: float) -> float:
+    """IEEE float division incl. signed zero divisors and the x86 default
+    -nan for 0/0 (C's divsd, which the reference compiles to)."""
+    import numpy as np
+    with np.errstate(all="ignore"):
+        return float(np.float64(x) / np.float64(y))
 
 
 def _trunc(r: float) -> int:
@@ -479,7 +493,7 @@ def _apply2(op: int, p: list, q: list) -> None:
             p[2] = p[2] * q[2]
         p[0] = KEV_REAL if either_real else KEV_INT
     elif op == KEO_DIV:
-        p[2] = p[2] / q[2] if q[2] != 0 else math.inf if p[2] > 0 else -math.inf if p[2] < 0 else math.nan
+        p[2] = p[2] / q[2] if q[2] != 0 else _c_div(p[2], q[2])
         p[1] = _trunc(p[2])
         p[0] = KEV_REAL
     elif op == 23:  # &&

@@ -783,7 +783,7 @@ class BgtmReader:
             elif t == kexpr.KEV_INT:
                 parts.append(str(i))
             elif t == kexpr.KEV_REAL:
-                parts.append("%g" % r)
+                parts.append(kexpr.fmt_real(r))
             else:
                 parts.append(s)
         self.tbl_line = "\t".join(parts)

@@ -11,8 +11,10 @@ compiled vector expressions over the AC/AN arrays, and VCF text assembles
 from LUT gathers.  Output bytes are identical to the general path (and the
 reference CLI); tests cross-check both.
 
-Applicability: no allele-set (-a) and no -S/-H accumulators (those run on
-the general path, which also remains the byte-exact arbiter).
+Applicability: everything except the -S/-H accumulators (those run on the
+general path, which also remains the byte-exact arbiter); allele sets (-a)
+apply as a canonical-key site prefilter, and binary BCF output (-b/-u)
+serializes through the native batched record emitter.
 """
 
 from __future__ import annotations
@@ -1048,7 +1050,7 @@ class FastView:
                 elif t == kexpr.KEV_INT:
                     parts.append(str(iv))
                 elif t == kexpr.KEV_REAL:
-                    parts.append("%g" % rv)
+                    parts.append(kexpr.fmt_real(rv))
                 else:
                     parts.append(sv)
             return "\t".join(parts)
