@@ -125,6 +125,7 @@ class BgtReader:
         self._sub_cols: np.ndarray | None = None
         self._sub_words: np.ndarray | None = None
         self._sub_shift: np.ndarray | None = None
+        self._pb_subset = False
         self._seekn(0)
 
     def close(self):
@@ -222,9 +223,9 @@ class BgtReader:
         cols = np.empty(self.n_out * 2, dtype=np.int64)
         cols[0::2] = self.out * 2
         cols[1::2] = self.out * 2 + 1
-        self.pb.subset(cols)
         self._sub_cols = cols
-        self._sub_words = None  # re-derived on next read
+        self._sub_words = None   # re-derived on next read
+        self._pb_subset = False  # PbfReader subset applied lazily (fallback)
         self._b0_unread = True
 
     # --- reading -----------------------------------------------------------
@@ -309,6 +310,9 @@ class BgtReader:
             a0 = ((w0 >> self._sub_shift) & 1).astype(np.uint8)
             a1 = ((w1 >> self._sub_shift) & 1).astype(np.uint8)
             return (self.b0, a0, a1)
+        if not self._pb_subset and self._sub_cols is not None:
+            self.pb.subset(self._sub_cols)
+            self._pb_subset = True
         self.pb.seek(row)
         planes = self.pb.read_row()
         return (self.b0, planes[0], planes[1])
