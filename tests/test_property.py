@@ -67,7 +67,7 @@ def test_kexpr_fuzz_vs_oracle(ref_kexpr):
     integer division by zero)."""
     rng = np.random.default_rng(42)
     n_checked = 0
-    for _ in range(150):
+    for _ in range(400):
         expr = _rand_expr(rng)
         res = subprocess.run([ref_kexpr, expr], capture_output=True, text=True)
         if res.returncode != 0:
@@ -88,7 +88,7 @@ def test_kexpr_fuzz_vs_oracle(ref_kexpr):
             got = s
         assert got == expect, f"{expr!r}: got {got} want {expect}"
         n_checked += 1
-    assert n_checked > 100  # the oracle survived enough cases to matter
+    assert n_checked > 250  # the oracle survived enough cases to matter
 
 
 def test_kexpr_vector_fuzz_matches_scalar():
