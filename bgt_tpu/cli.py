@@ -15,14 +15,19 @@ def main_import(argv, out=None, err=None) -> int:
     is_vcf = None
     keep_flt = False
     clevel = -1
+    fn_ref = None
     try:
         opts, args = getopt.getopt(argv, "1l:SFt:")
     except getopt.GetoptError as e:
         print(f"[E::main_import] {e}", file=err)
         return 1
     for c, val in opts:
-        if c == "-S" or c == "-t":
+        if c == "-S":
             is_vcf = True
+        elif c == "-t":
+            # list of contig names/lengths for headerless VCF (import.c:35)
+            is_vcf = True
+            fn_ref = val
         elif c == "-l":
             clevel = int(val)
         elif c == "-F":
@@ -31,7 +36,7 @@ def main_import(argv, out=None, err=None) -> int:
         print("Usage: bgt import [options] <out-prefix> <in.bcf>|<in.vcf>|<in.vcf.gz>",
               file=err)
         return 1
-    importer.import_vcf(args[0], args[1:], is_vcf, keep_flt, clevel)
+    importer.import_vcf(args[0], args[1:], is_vcf, keep_flt, clevel, fn_ref=fn_ref)
     return 0
 
 
@@ -42,14 +47,18 @@ def main_atomize(argv, out=None, err=None) -> int:
     bcf_out = False
     write_m = False
     use_missing = True
+    fn_ref = None
     try:
         opts, args = getopt.getopt(argv, "0bSMt:")
     except getopt.GetoptError as e:
         print(f"[E::main_atomize] {e}", file=err)
         return 1
-    for c, _val in opts:
-        if c in ("-S", "-t"):
+    for c, val in opts:
+        if c == "-S":
             is_vcf = True
+        elif c == "-t":
+            is_vcf = True
+            fn_ref = val
         elif c == "-b":
             bcf_out = True
         elif c == "-M":
@@ -60,7 +69,7 @@ def main_atomize(argv, out=None, err=None) -> int:
         print("Usage: bgt atomize [options] <in.bcf>|<in.vcf>", file=err)
         return 1
     importer.atomize_cli(args[0], is_vcf, bcf_out, write_m, use_missing,
-                         out_fp=out or sys.stdout)
+                         out_fp=out or sys.stdout, fn_ref=fn_ref)
     return 0
 
 

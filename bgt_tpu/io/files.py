@@ -11,6 +11,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+import re
 
 from ..formats import bcf as bcflib
 from .bgzf import BgzfReader
@@ -30,10 +31,52 @@ def open_text_auto(fn: str):
     return io.TextIOWrapper(f, encoding="latin-1")
 
 
+def contig_header_lines(fn_ref: str) -> list[str]:
+    """``-t FILE`` contig list -> ``##contig=<ID=name,length=N>`` header lines.
+
+    Token-stream semantics of the reference (vcf.c:382-401): whitespace-split
+    tokens read in pairs (name, length); after the length token the rest of
+    its line is skipped; length parsed with atol (leading integer else 0).
+    """
+    with open_text_auto(fn_ref) as fp:
+        text = fp.read()
+    i, n = 0, len(text)
+
+    def getuntil():
+        nonlocal i
+        if i >= n:
+            return None
+        start = i
+        while i < n and not text[i].isspace():
+            i += 1
+        tok = text[start:i]
+        d = text[i] if i < n else ""
+        if i < n:
+            i += 1
+        return tok, d
+
+    out = []
+    while True:
+        t = getuntil()
+        if t is None:
+            break
+        name, _d = t
+        t2 = getuntil()
+        length_s, d2 = t2 if t2 is not None else ("", "")
+        m = re.match(r"[ \t\n\v\f\r]*[+-]?\d+", length_s)
+        length = int(m.group()) if m else 0
+        out.append(f"##contig=<ID={name},length={length}>")
+        if d2 != "\n":
+            while i < n and text[i] != "\n":
+                i += 1
+            i += 1
+    return out
+
+
 class VcfTextReader:
     """VCF text (optionally gzip) -> header + Bcf1 record stream."""
 
-    def __init__(self, fn: str):
+    def __init__(self, fn: str, fn_ref: str | None = None):
         self.fp = open_text_auto(fn)
         lines = []
         self._pending = None
@@ -43,6 +86,9 @@ class VcfTextReader:
                 continue
             if not line.startswith("#"):
                 raise ValueError("no sample line in VCF header")
+            if not line.startswith("##") and fn_ref:
+                # insert contigs just before the #CHROM line (vcf.c:382)
+                lines.extend(contig_header_lines(fn_ref))
             lines.append(line)
             if not line.startswith("##"):
                 break
@@ -87,7 +133,7 @@ class BcfReader:
         self.fp.close()
 
 
-def open_vcf(fn: str, is_vcf: bool | None = None):
+def open_vcf(fn: str, is_vcf: bool | None = None, fn_ref: str | None = None):
     """Open a VCF/BCF by sniffing unless ``is_vcf`` is forced."""
     if is_vcf is None:
         with open(fn, "rb") as f:
@@ -97,7 +143,7 @@ def open_vcf(fn: str, is_vcf: bool | None = None):
                 is_vcf = bg.read(3) != b"BCF"
         else:
             is_vcf = True
-    return VcfTextReader(fn) if is_vcf else BcfReader(fn)
+    return VcfTextReader(fn, fn_ref) if is_vcf else BcfReader(fn)
 
 
 def is_file(fn: str) -> bool:

@@ -45,9 +45,10 @@ def build_bcf_index(fn: str, min_shift: int = 14) -> None:
 
 
 def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
-               keep_filtered: bool = False, clevel: int = -1) -> int:
+               keep_filtered: bool = False, clevel: int = -1,
+               fn_ref: str | None = None) -> int:
     """Import VCF/BCF file(s) into a BGT database at ``prefix``."""
-    first = files.open_vcf(inputs[0], is_vcf)
+    first = files.open_vcf(inputs[0], is_vcf, fn_ref)
     h = first.header
     ab = AtomBuffer(h, first, keep_filtered)
     n_samples = h.n(bcflib.BCF_DT_SAMPLE)
@@ -105,7 +106,7 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
     try:
         for j, fn in enumerate(inputs):
             if j > 0:
-                src = files.open_vcf(fn, is_vcf)
+                src = files.open_vcf(fn, is_vcf, fn_ref)
                 ab = AtomBuffer(src.header, src, keep_filtered)
             for a in ab:
                 atom_to_bcf(a, b, write_m=True, id_gt=-1)
@@ -135,9 +136,9 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
 
 def atomize_cli(fn: str, is_vcf: bool | None = None, bcf_out: bool = False,
                 write_m: bool = False, use_missing: bool = True,
-                out_fp=None) -> int:
+                out_fp=None, fn_ref: str | None = None) -> int:
     """``bgt atomize``: stream atomized records to stdout (import.c:135-190)."""
-    src = files.open_vcf(fn, is_vcf)
+    src = files.open_vcf(fn, is_vcf, fn_ref)
     h = src.header
     ab = AtomBuffer(h, src, keep_filtered=False)
     out_fp = out_fp or sys.stdout

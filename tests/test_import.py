@@ -125,3 +125,36 @@ def test_import_multi_input_append(tmp_path, ref_bgt):
     for ext in (".bcf", ".pbf"):
         assert (tmp_path / f"ourdb{ext}").read_bytes() == \
             (tmp_path / f"refdb{ext}").read_bytes(), ext
+
+
+def test_import_contig_list(tmp_path, ref_bgt):
+    """``import -t FILE``: headerless VCF (no ##contig lines) imports via the
+    supplied contig name/length list, byte-identical to the reference
+    (import.c:35, vcf.c:382-401)."""
+    vcf = testing.random_vcf(n_samples=6, n_sites=40, seed=7)
+    lines = [ln for ln in vcf.splitlines() if not ln.startswith("##contig")]
+    (tmp_path / "in.vcf").write_text("\n".join(lines) + "\n")
+    (tmp_path / "ctg.txt").write_text("11\t135006516\textra ignored\n")
+    res = run_ref(ref_bgt, ["import", "-t", "ctg.txt", "refdb", "in.vcf"], tmp_path)
+    assert res.returncode == 0, res.stderr.decode()
+    from bgt_tpu import cli
+    rc = cli.main(["import", "-t", str(tmp_path / "ctg.txt"),
+                   str(tmp_path / "ourdb"), str(tmp_path / "in.vcf")])
+    assert rc == 0
+    for ext in (".bcf", ".pbf", ".spl"):
+        assert (tmp_path / f"ourdb{ext}").read_bytes() == \
+            (tmp_path / f"refdb{ext}").read_bytes(), f"{ext} differs"
+
+
+def test_atomize_contig_list(tmp_path, ref_bgt):
+    vcf = testing.random_vcf(n_samples=4, n_sites=30, seed=8)
+    lines = [ln for ln in vcf.splitlines() if not ln.startswith("##contig")]
+    (tmp_path / "in.vcf").write_text("\n".join(lines) + "\n")
+    (tmp_path / "ctg.txt").write_text("11 135006516\n")
+    ref = run_ref(ref_bgt, ["atomize", "-t", "ctg.txt", "in.vcf"], tmp_path,
+                  check=True)
+    import io
+    buf = io.StringIO()
+    importer.atomize_cli(str(tmp_path / "in.vcf"), is_vcf=True, out_fp=buf,
+                         fn_ref=str(tmp_path / "ctg.txt"))
+    assert buf.getvalue() == ref.stdout.decode()
