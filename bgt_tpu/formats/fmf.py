@@ -172,6 +172,216 @@ class Fmf:
         return "\t".join(parts)
 
 
+def _col_kind(vtype) -> int:
+    """Classify a column: 1=int, 2=real(or int/real mix), 3=string,
+    0=never present, -1=mixed string/numeric (uncachable fast path)."""
+    import numpy as np
+    kinds = set(np.unique(vtype).tolist()) - {0}
+    if not kinds:
+        return 0
+    if kinds <= {1}:
+        return 1
+    if kinds <= {1, 2}:
+        return 2
+    if kinds == {3}:
+        return 3
+    return -1
+
+
+_SIDE_MAGIC = b"BFI\x02"
+
+
+class _SidecarFile:
+    """Lazy reader for the ``.fmfidx`` sidecar: a JSON index over raw
+    little-endian array sections, each accessed via np.memmap so a query
+    only faults in the columns it evaluates."""
+
+    def __init__(self, path: str):
+        import json
+        self.path = path
+        with open(path, "rb") as fp:
+            if fp.read(4) != _SIDE_MAGIC:
+                raise ValueError("bad sidecar magic")
+            import struct
+            (jlen,) = struct.unpack("<I", fp.read(4))
+            self.idx = json.loads(fp.read(jlen).decode())
+            self.data_start = (fp.tell() + 63) // 64 * 64
+
+    def arr(self, name: str):
+        import numpy as np
+        dt, count, off = self.idx["sections"][name]
+        if count == 0:
+            return np.zeros(0, dtype=np.dtype(dt))
+        return np.memmap(self.path, dtype=np.dtype(dt), mode="r",
+                         offset=self.data_start + off, shape=(count,))
+
+    def uniq(self, key: str) -> list[str]:
+        ucat = bytes(self.arr(f"c:{key}:ucat"))
+        uoff = self.arr(f"c:{key}:uoff")
+        return [ucat[uoff[i]: uoff[i + 1]].decode("latin-1")
+                for i in range(uoff.size - 1)]
+
+
+def _sidecar_save(side: str, st, shared, cached: dict) -> None:
+    """Write the sidecar atomically: magic + u32 json-length + JSON index
+    + 64-aligned raw array sections."""
+    import json
+    import os
+    import struct
+
+    import numpy as np
+    n, name_cat, name_off, name_len, line_off, line_len = shared
+    sections: dict[str, np.ndarray] = {
+        "name_cat": np.frombuffer(name_cat, np.uint8),
+        "name_off": np.ascontiguousarray(name_off, np.int64),
+        "name_len": np.ascontiguousarray(name_len, np.int32),
+        "line_off": np.ascontiguousarray(line_off, np.int64),
+        "line_len": np.ascontiguousarray(line_len, np.int32),
+    }
+    keys = {}
+    for k, (kind, vtype, val, uniq) in cached.items():
+        keys[k] = kind
+        sections[f"c:{k}:vtype"] = np.ascontiguousarray(vtype, np.uint8)
+        sections[f"c:{k}:val"] = np.ascontiguousarray(val)
+        if kind == 3:
+            parts = [u.encode("latin-1") for u in uniq]
+            uoff = np.zeros(len(parts) + 1, np.int64)
+            np.cumsum([len(p) for p in parts], out=uoff[1:])
+            sections[f"c:{k}:ucat"] = np.frombuffer(b"".join(parts), np.uint8)
+            sections[f"c:{k}:uoff"] = uoff
+    idx = {"mtime_ns": st.st_mtime_ns, "size": st.st_size, "n": n,
+           "keys": keys, "sections": {}}
+    pos = 0
+    for name, a in sections.items():
+        idx["sections"][name] = [a.dtype.str, int(a.size), pos]
+        pos = (pos + a.nbytes + 63) // 64 * 64
+    blob = json.dumps(idx, separators=(",", ":")).encode()
+    tmp = side + f".tmp{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fp:
+            fp.write(_SIDE_MAGIC)
+            fp.write(struct.pack("<I", len(blob)))
+            fp.write(blob)
+            data_start = (fp.tell() + 63) // 64 * 64
+            for name, a in sections.items():
+                fp.seek(data_start + idx["sections"][name][2])
+                a.tofile(fp)
+        os.replace(tmp, side)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _cached_scan_columns(fn: str, names: list[str]):
+    """``native.fmf_scan_columns`` behind an mtime-keyed ``.fmfidx``
+    sidecar (the reference re-parses the whole annotation file per query,
+    its own dominant cost for real queries — tex/bgt.tex:214-217).
+
+    The sidecar accumulates columns across queries: a scan triggered by a
+    missing key merges the fresh columns into the existing file.  Returns
+    the same tuple as fmf_scan_columns, None when native is unavailable, or
+    the string "mixed" when a requested key is cached as mixed-type (the
+    caller falls back to the scalar path without rescanning).
+    """
+    import os
+
+    import numpy as np
+
+    from .. import native
+    fn = os.fspath(fn)
+    if os.environ.get("BGT_TPU_FMF_CACHE", "1") == "0" or not os.path.isfile(fn):
+        return native.fmf_scan_columns(fn, names)
+    st = os.stat(fn)
+    side = fn + ".fmfidx"
+    sc = None
+    if os.path.exists(side):
+        try:
+            sc = _SidecarFile(side)
+            if (sc.idx["mtime_ns"] != st.st_mtime_ns
+                    or sc.idx["size"] != st.st_size):
+                sc = None
+        except (OSError, ValueError, KeyError):
+            sc = None
+    kinds = dict(sc.idx["keys"]) if sc is not None else {}
+    missing = [k for k in names if k not in kinds]
+    if missing or sc is None:
+        res = native.fmf_scan_columns(fn, missing)
+        if res is None:
+            return None
+        n, name_cat, name_off, name_len, line_off, line_len, fresh = res
+        cached: dict[str, tuple] = {}
+        if sc is not None and sc.idx["n"] == n:
+            # merge: carry the existing columns over (materialized)
+            for k, kind in kinds.items():
+                cached[k] = (kind, np.array(sc.arr(f"c:{k}:vtype")),
+                             np.array(sc.arr(f"c:{k}:val")),
+                             sc.uniq(k) if kind == 3 else [])
+        shared = (n, name_cat, name_off, name_len, line_off, line_len)
+        for k in missing:
+            vtype, iv, rv, sid, uniq = fresh[k]
+            kind = _col_kind(vtype)
+            val = (iv if kind == 1 else rv if kind == 2 else
+                   sid if kind == 3 else np.zeros(0, np.int64))
+            cached[k] = (kind, vtype, val, uniq if kind == 3 else [])
+        _sidecar_save(side, st, shared, cached)
+        cols = {}
+        z64 = np.zeros(0, np.int64)
+        zf = np.zeros(0, np.float64)
+        z32 = np.zeros(0, np.int32)
+        for k in names:
+            kind, vtype, val, uniq = cached[k]
+            if kind == -1:
+                return "mixed"
+            iv = val if kind == 1 else np.zeros(n, np.int64) if kind == 0 else z64
+            cols[k] = (vtype, iv, val if kind == 2 else zf,
+                       val if kind == 3 else z32, uniq)
+        return n, name_cat, name_off, name_len, line_off, line_len, cols
+    # pure cache hit: serve from memmaps, faulting in only what's evaluated
+    n = sc.idx["n"]
+    cols = {}
+    z64 = np.zeros(0, np.int64)
+    zf = np.zeros(0, np.float64)
+    z32 = np.zeros(0, np.int32)
+    for k in names:
+        kind = kinds[k]
+        if kind == -1:
+            return "mixed"
+        vtype = sc.arr(f"c:{k}:vtype")
+        val = sc.arr(f"c:{k}:val")
+        iv = val if kind == 1 else np.zeros(n, np.int64) if kind == 0 else z64
+        cols[k] = (vtype, iv, val if kind == 2 else zf,
+                   val if kind == 3 else z32,
+                   sc.uniq(k) if kind == 3 else [])
+    return (n, _LazyBytes(sc, "name_cat"), sc.arr("name_off"),
+            sc.arr("name_len"), sc.arr("line_off"), sc.arr("line_len"), cols)
+
+
+class _LazyBytes:
+    """bytes-like view over a sidecar section, materialized on first use
+    (the names blob is only needed to emit passing rows)."""
+
+    def __init__(self, sc: "_SidecarFile", name: str):
+        self._sc = sc
+        self._name = name
+        self._b: bytes | None = None
+
+    def _get(self) -> bytes:
+        if self._b is None:
+            self._b = bytes(self._sc.arr(self._name))
+        return self._b
+
+    def __getitem__(self, i):
+        return self._get()[i]
+
+    def __len__(self):
+        return len(self._get())
+
+    def __bytes__(self):
+        return self._get()
+
+
 def scan_filter_raw(fn: str, ke):
     """Like :func:`scan_filter` but returns the passing rows' raw name
     bytes as (name_cat, name_off i64, name_len i32) without decoding, for
@@ -190,8 +400,6 @@ def scan_filter(fn: str, ke, name_only: bool = True, raw: bool = False):
     scanner extracts only the expression's variables into columnar arrays;
     the expression evaluates once, vectorized.
     """
-    from .. import native
-
     import numpy as np
     if ke is None:
         return None  # unfiltered pass-through: the plain loop is IO-bound
@@ -201,8 +409,8 @@ def scan_filter(fn: str, ke, name_only: bool = True, raw: bool = False):
     names = sorted(ke.var_names)
     if "_ROW_" in names:
         return None
-    res = native.fmf_scan_columns(fn, names)
-    if res is None:
+    res = _cached_scan_columns(fn, names)
+    if res is None or res == "mixed":
         return None
     n, name_cat, name_off, name_len, line_off, line_len, cols = res
 
@@ -235,6 +443,8 @@ def scan_filter(fn: str, ke, name_only: bool = True, raw: bool = False):
         return None
     passing = np.nonzero(present & (np.asarray(vec) != 0))[0]
     if raw:
+        if not isinstance(name_cat, bytes):
+            name_cat = bytes(name_cat)
         return name_cat, name_off[passing], name_len[passing]
     if name_only:
         return [

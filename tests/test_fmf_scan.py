@@ -143,3 +143,46 @@ def test_cli_parity_vs_reference(fmf_file, ref_bgt):
         buf = io.StringIO()
         assert cli.main_fmf(args, out=buf) == 0
         assert buf.getvalue() == ref.stdout.decode(), args
+
+
+def test_sidecar_cache(fmf_file, monkeypatch):
+    """Repeat scans are served from the .fmfidx sidecar without touching
+    the file; the sidecar accumulates columns and invalidates on mtime."""
+    import os
+    fmf_file = str(fmf_file / "a.fmf")
+    side = fmf_file + ".fmfidx"
+    if os.path.exists(side):
+        os.unlink(side)
+    want = fast_names(fmf_file, 'csq > 10')
+    assert os.path.exists(side)
+    # cached repeat: the native scanner must not be called at all
+    def boom(*a, **k):
+        raise AssertionError("native scan called on a cached query")
+    monkeypatch.setattr(native, "fmf_scan_columns", boom)
+    assert fast_names(fmf_file, 'csq > 10') == want
+    assert fast_names(fmf_file, 'csq > 40') == scalar_names(fmf_file, 'csq > 40')
+    monkeypatch.undo()
+    # new key -> merge scan, sidecar now covers both
+    want2 = fast_names(fmf_file, 'impact == "HIGH" && csq > 0')
+    assert want2 == scalar_names(fmf_file, 'impact == "HIGH" && csq > 0')
+    monkeypatch.setattr(native, "fmf_scan_columns", boom)
+    assert fast_names(fmf_file, 'impact == "HIGH" && csq > 0') == want2
+    monkeypatch.undo()
+    # invalidation: touching the file forces a rescan
+    os.utime(fmf_file, ns=(os.stat(fmf_file).st_atime_ns,
+                           os.stat(fmf_file).st_mtime_ns + 1))
+    called = []
+    real = fmf.scan_filter
+    orig = native.fmf_scan_columns
+    def spy(fn, keys):
+        called.append(keys)
+        return orig(fn, keys)
+    monkeypatch.setattr(native, "fmf_scan_columns", spy)
+    assert fast_names(fmf_file, 'csq > 10') == want
+    assert called, "stale sidecar was trusted after mtime change"
+
+
+def test_sidecar_cache_disabled(fmf_file, monkeypatch):
+    fmf_file = str(fmf_file / "a.fmf")
+    monkeypatch.setenv("BGT_TPU_FMF_CACHE", "0")
+    assert fast_names(fmf_file, 'af < 0.25') == scalar_names(fmf_file, 'af < 0.25')
