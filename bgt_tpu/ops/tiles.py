@@ -30,6 +30,7 @@ from ..formats.pbf import PbfReader
 
 MAGIC_V1 = b"GTC\x01"
 MAGIC = b"GTC\x02"  # v2 appends the per-row all-columns code-count aggregate
+MAGIC_SHARD = b"GTS\x01"  # column-slice shard of a GTC tile
 WORD_BITS = 32
 # column padding: keep the uint8 view a multiple of 128 lanes * 4 sublanes
 COL_ALIGN = 1024
@@ -40,18 +41,33 @@ def _pad_words(m: int) -> int:
 
 
 class TileStore:
-    """In-memory (optionally disk-cached) packed genotype matrix."""
+    """In-memory (optionally disk-cached) packed genotype matrix.
+
+    A store is either *full* (planes cover all ``n_words`` columns) or a
+    *shard* (planes cover global word-columns ``[word_offset, word_limit)``
+    only — the on-disk artifact that lets each host of a multi-process mesh
+    load just its own sample columns, generalizing the reference's
+    one-database-per-sub-cohort composition, bgt.c:829-842).  ``n_words``
+    always refers to the full matrix so mask layouts stay global.
+    """
 
     def __init__(self, n_rows: int, m: int, plane0: np.ndarray, plane1: np.ndarray,
-                 rowstats: np.ndarray | None = None):
+                 rowstats: np.ndarray | None = None,
+                 n_words_global: int | None = None, word_offset: int = 0):
         self.n_rows = n_rows
         self.m = m  # real number of haplotype columns
-        self.n_words = plane0.shape[1]
+        self.n_words = (plane0.shape[1] if n_words_global is None
+                        else n_words_global)
+        self.is_shard = n_words_global is not None
+        self.word_offset = word_offset
+        self.word_limit = word_offset + plane0.shape[1]
         self.plane0 = plane0
         self.plane1 = plane1
         # (n_rows, 4) int32 counts of codes 0..3 over all m columns — the
         # materialized aggregate behind all-samples AC/AN queries (the
         # reference recounts per query, bgt.c:735-757)
+        if rowstats is None and self.is_shard:
+            raise ValueError("shard stores carry the global rowstats")
         self.rowstats = rowstats if rowstats is not None else self._calc_rowstats()
 
     def _calc_rowstats(self) -> np.ndarray:
@@ -109,9 +125,63 @@ class TileStore:
         out1[:, : p1.shape[1]] = p1
         return cls(n, m, out0.view(np.uint32), out1.view(np.uint32))
 
+    @classmethod
+    def build_gtc(cls, pbf_path: str, gtc_path: str) -> int | None:
+        """Streaming PBF -> GTC build with O(block) memory (python fallback
+        of the native ``bgt_gtc_from_pbf``; reference streams one row at a
+        time too, pbwt.c:313-337).  Returns n_rows, or None when the PBF has
+        no footer (pipe-written) and the caller must use :meth:`from_pbf`."""
+        pb = PbfReader(pbf_path)
+        n_rows = pb.n
+        if n_rows <= 0 and pb.idx.size == 0:
+            pb.close()
+            return None
+        m = pb.m
+        n_words = _pad_words(m)
+        row_bytes = n_words * 4
+        hdr = 20
+        plane_bytes = n_rows * row_bytes
+        stats_off = hdr + 2 * plane_bytes
+        block = max(16, (8 << 20) // row_bytes)
+        with open(gtc_path, "wb") as fp:
+            fp.write(MAGIC)
+            fp.write(struct.pack("<qii", n_rows, m, n_words))
+            r = 0
+            while r < n_rows:
+                nb = min(block, n_rows - r)
+                rows0 = np.zeros((nb, row_bytes), np.uint8)
+                rows1 = np.zeros((nb, row_bytes), np.uint8)
+                for i in range(nb):
+                    planes = pb.read_row()
+                    if planes is None:
+                        raise ValueError("PBF ended before footer row count")
+                    b0 = np.packbits(planes[0], bitorder="little")
+                    b1 = np.packbits(planes[1], bitorder="little")
+                    rows0[i, : b0.size] = b0
+                    rows1[i, : b1.size] = b1
+                w0 = rows0.view(np.uint32)
+                w1 = rows1.view(np.uint32)
+                n10 = np.bitwise_count(w0).sum(axis=1, dtype=np.int32)
+                n11 = np.bitwise_count(w1).sum(axis=1, dtype=np.int32)
+                both = np.bitwise_count(w0 & w1).sum(axis=1, dtype=np.int32)
+                cnt1 = n10 - both
+                cnt2 = n11 - both
+                stats = np.stack([np.int32(m) - cnt1 - cnt2 - both,
+                                  cnt1, cnt2, both], axis=1).astype(np.int32)
+                fp.seek(hdr + r * row_bytes)
+                fp.write(rows0.tobytes())
+                fp.seek(hdr + plane_bytes + r * row_bytes)
+                fp.write(rows1.tobytes())
+                fp.seek(stats_off + r * 16)
+                fp.write(stats.tobytes())
+                r += nb
+        pb.close()
+        return n_rows
+
     # --- disk cache --------------------------------------------------------
 
     def save(self, path: str) -> None:
+        assert not self.is_shard
         with open(path, "wb") as fp:
             fp.write(MAGIC)
             fp.write(struct.pack("<qii", self.n_rows, self.m, self.n_words))
@@ -119,33 +189,73 @@ class TileStore:
             fp.write(np.ascontiguousarray(self.plane1).tobytes())
             fp.write(np.ascontiguousarray(self.rowstats).tobytes())
 
+    def save_shard(self, path: str, w0: int, w1: int,
+                   block_rows: int = 16384) -> None:
+        """Emit global word-columns [w0, w1) as a shard file, streamed in
+        row blocks so the full planes are never materialized."""
+        assert not self.is_shard and 0 <= w0 < w1 <= self.n_words
+        with open(path, "wb") as fp:
+            fp.write(MAGIC_SHARD)
+            fp.write(struct.pack("<qiiii", self.n_rows, self.m, self.n_words,
+                                 w0, w1))
+            for plane in (self.plane0, self.plane1):
+                for lo in range(0, self.n_rows, block_rows):
+                    fp.write(np.ascontiguousarray(
+                        plane[lo: lo + block_rows, w0:w1]).tobytes())
+            fp.write(np.ascontiguousarray(self.rowstats).tobytes())
+
     @classmethod
     def load(cls, path: str) -> "TileStore":
         """Memory-map the planes (read-only): cold-start queries that are
-        served by the rowstats aggregate never fault the matrix in at all."""
+        served by the rowstats aggregate never fault the matrix in at all.
+        Accepts full GTC tiles and GTS column-slice shards."""
         with open(path, "rb") as fp:
             magic = fp.read(4)
-            if magic not in (MAGIC, MAGIC_V1):
+            if magic == MAGIC_SHARD:
+                n_rows, m, n_words, w0, w1 = struct.unpack("<qiiii",
+                                                           fp.read(24))
+            elif magic in (MAGIC, MAGIC_V1):
+                n_rows, m, n_words = struct.unpack("<qii", fp.read(16))
+                w0, w1 = 0, n_words
+            else:
                 raise ValueError("not a GTC tile file")
-            n_rows, m, n_words = struct.unpack("<qii", fp.read(16))
             hdr = fp.tell()
-        plane_elems = n_rows * n_words
+        local_words = w1 - w0
+        plane_elems = n_rows * local_words
         data = np.memmap(path, dtype=np.uint32, mode="r", offset=hdr,
                          shape=(2 * plane_elems,))
         stats = None
-        if magic == MAGIC:
+        if magic != MAGIC_V1:
             raw = np.memmap(path, dtype=np.int32, mode="r",
                             offset=hdr + 8 * plane_elems)
             if raw.size >= 4 * n_rows:
                 # rowstats are small and hot: materialize them
                 stats = np.array(raw[: 4 * n_rows]).reshape(n_rows, 4)
-        plane0 = data[:plane_elems].reshape(n_rows, n_words)
-        plane1 = data[plane_elems:].reshape(n_rows, n_words)
+        plane0 = data[:plane_elems].reshape(n_rows, local_words)
+        plane1 = data[plane_elems:].reshape(n_rows, local_words)
+        if magic == MAGIC_SHARD:
+            return cls(n_rows, m, plane0, plane1, rowstats=stats,
+                       n_words_global=n_words, word_offset=w0)
         return cls(n_rows, m, plane0, plane1, rowstats=stats)
 
     @classmethod
     def open_or_build(cls, prefix: str) -> "TileStore":
-        """Load ``prefix.gtc`` if fresh, else build from ``prefix.pbf``."""
+        """Load ``prefix.gtc`` if fresh, else build from ``prefix.pbf``.
+
+        ``BGT_TPU_TILE_SHARD=K:N`` (or an explicit path) makes this process
+        open only its column-slice shard ``prefix.gtc.shard-K-of-N`` — the
+        per-host load path for multi-process meshes; a missing shard file is
+        a loud error, never a silent fallback to the full tile."""
+        shard = os.environ.get("BGT_TPU_TILE_SHARD")
+        if shard:
+            if ":" in shard and not os.path.exists(shard):
+                k, n = shard.split(":", 1)
+                shard = f"{prefix}.gtc.shard-{int(k)}-of-{int(n)}"
+            if not os.path.exists(shard):
+                raise FileNotFoundError(
+                    f"BGT_TPU_TILE_SHARD set but '{shard}' does not exist; "
+                    f"emit shards with TileStore.emit_shards('{prefix}', ...)")
+            return cls.load(shard)
         gtc = prefix + ".gtc"
         pbf = prefix + ".pbf"
         if os.path.exists(gtc) and os.path.getmtime(gtc) >= os.path.getmtime(pbf):
@@ -156,12 +266,36 @@ class TileStore:
                 return cls.load(gtc)
         except OSError:
             pass
+        if cls.build_gtc(pbf, gtc) is not None:
+            return cls.load(gtc)
         ts = cls.from_pbf(pbf)
         try:
             ts.save(gtc)
         except OSError:
             pass
         return ts
+
+    @classmethod
+    def emit_shards(cls, prefix: str, n_proc: int,
+                    n_dev_total: int) -> list[str]:
+        """Split ``prefix.gtc`` into per-process column-slice files whose
+        boundaries match a ``n_dev_total``-device mesh spread over
+        ``n_proc`` processes (distributed.local_column_range)."""
+        from ..parallel import mesh as meshlib
+        ts = cls.open_or_build(prefix)
+        words = meshlib.pad_words_for_mesh(ts.n_words, n_dev_total)
+        per_dev = words // n_dev_total
+        dpp = n_dev_total // n_proc
+        paths = []
+        for k in range(n_proc):
+            lo = k * dpp * per_dev
+            hi = min((k + 1) * dpp * per_dev, ts.n_words)
+            path = f"{prefix}.gtc.shard-{k}-of-{n_proc}"
+            if lo >= ts.n_words:
+                lo = ts.n_words - 1  # degenerate: mesh wider than matrix
+            ts.save_shard(path, lo, max(hi, lo + 1))
+            paths.append(path)
+        return paths
 
     # --- masks -------------------------------------------------------------
 
@@ -201,6 +335,11 @@ class TileStore:
 
     def codes(self, rows: np.ndarray, cols: np.ndarray | None = None) -> np.ndarray:
         """(len(rows), m or len(cols)) uint8 genotype codes (host path)."""
+        if self.is_shard:
+            raise ValueError(
+                "genotype decode needs the full tile; this process holds "
+                f"only word-columns [{self.word_offset},{self.word_limit}) — "
+                "run GT-emitting queries against the full .gtc")
         p0 = self.plane0[rows]
         p1 = self.plane1[rows]
         b0 = np.unpackbits(p0.view(np.uint8), axis=1, bitorder="little")

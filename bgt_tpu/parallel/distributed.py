@@ -56,12 +56,24 @@ def global_mesh(axis: str = meshlib.SAMPLE_AXIS) -> jax.sharding.Mesh:
 
 
 def local_column_range(n_words: int, mesh: jax.sharding.Mesh) -> tuple[int, int]:
-    """The [start, stop) word-column range this process's devices own."""
+    """The [start, stop) word-column range this process's devices own.
+
+    Ownership is by POSITION in the mesh's device order, not by raw device
+    id: multi-process backends assign non-contiguous global ids (e.g. CPU
+    processes get id = process_index << 11 | local), so ids cannot index the
+    column partition directly."""
     n_dev = mesh.devices.size
     words = meshlib.pad_words_for_mesh(n_words, n_dev)
     per_dev = words // n_dev
-    local_ids = sorted(d.id for d in jax.local_devices())
-    return local_ids[0] * per_dev, (local_ids[-1] + 1) * per_dev
+    order = {d: i for i, d in enumerate(mesh.devices.flat)}
+    pos = sorted(order[d] for d in jax.local_devices() if d in order)
+    # the word partition assumes each process owns one contiguous stretch of
+    # mesh positions (true on TPU slices and jax.devices() order); fail
+    # loudly if a topology ever violates it
+    assert pos and pos == list(range(pos[0], pos[-1] + 1)), (
+        f"non-contiguous local mesh positions {pos}: the contiguous "
+        "column partition does not apply to this topology")
+    return pos[0] * per_dev, (pos[-1] + 1) * per_dev
 
 
 def place_local(mesh: jax.sharding.Mesh, local: np.ndarray):

@@ -352,6 +352,23 @@ class ShardContext:
         sh = NamedSharding(self.mesh, P(None, self.meshlib.SAMPLE_AXIS))
         return jax.device_put(arr, sh)
 
+    def _place_shard(self, ts, arr: np.ndarray):
+        """Place a pre-sliced column shard (loaded from a .gtc.shard file):
+        verify its boundaries equal this process's mesh slice, pad the tail
+        shard to the per-device width, and place without ever holding the
+        full matrix (VERDICT: no full-DB load per host)."""
+        import numpy as np
+        lo, hi = self.distributed.local_column_range(ts.n_words, self.mesh)
+        if ts.word_offset != lo or ts.word_limit < min(hi, ts.n_words):
+            raise ValueError(
+                f"tile shard covers words [{ts.word_offset},{ts.word_limit})"
+                f" but this process's mesh slice is [{lo},{hi}); re-emit "
+                "shards with TileStore.emit_shards matching the mesh")
+        local = np.asarray(arr[:, : hi - lo])
+        if local.shape[1] < hi - lo:
+            local = np.pad(local, ((0, 0), (0, hi - lo - local.shape[1])))
+        return self.distributed.place_local(self.mesh, local)
+
     def planes(self, ctx: "_DbCtx"):
         """(p0_sharded, p1_sharded, padded_words, n_rows) for a database."""
         key = _cache_key(ctx.bf)
@@ -359,8 +376,15 @@ class ShardContext:
         if hit is None:
             ts = ctx.ts
             words = self.meshlib.pad_words_for_mesh(ts.n_words, self.n_dev)
-            hit = (self._place(ts.plane0, words), self._place(ts.plane1, words),
-                   words, ts.n_rows)
+            if ts.is_shard:
+                if not self.multi_process:
+                    raise ValueError("column-shard tile in a single-process "
+                                     "run: open the full .gtc instead")
+                hit = (self._place_shard(ts, ts.plane0),
+                       self._place_shard(ts, ts.plane1), words, ts.n_rows)
+            else:
+                hit = (self._place(ts.plane0, words),
+                       self._place(ts.plane1, words), words, ts.n_rows)
             self._planes[key] = hit
         return hit
 
@@ -510,6 +534,18 @@ class _DbCtx:
         if hit is not None:
             return hit[rows]
         memo_ok = ts.n_rows * masks.shape[0] * 16 <= _COUNT_MEMO_BYTES
+        if ts.is_shard:
+            sharding = sharding_cb() if sharding_cb is not None else None
+            if sharding is None:
+                raise ValueError("column-shard tile needs the multi-process "
+                                 "mesh path for subset counts")
+            p0, p1, words, n_rows = sharding.planes(self)
+            msk = sharding.put_masks(masks, words)
+            length = _bucket(int(rows[-1]) + 1 - int(rows[0]), n_rows)
+            start = min(int(rows[0]), n_rows - length)
+            counts = np.asarray(sharding.count_range(p0, p1, msk, start,
+                                                     length))
+            return counts[rows - start]
         if not device_available():
             counts = host_counts(ts, np.arange(ts.n_rows) if memo_ok else rows,
                                  masks)

@@ -19,6 +19,10 @@
 #include <unordered_map>
 #include <vector>
 
+#include <algorithm>
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <zlib.h>
 
 namespace {
@@ -217,6 +221,48 @@ int bgt_pbf_writer_close(void* hv) {
 // per row (the reference recomputes these per query, bgt.c:735-757; here
 // they are an index built once at tile time so the all-samples AC/AN query
 // never touches the genotype matrix again).
+//
+// The build streams: n_rows comes from the PBF footer (or a record-walk
+// when the footer is absent), so each plane block is pwritten straight to
+// its final offset and peak memory is O(block), independent of matrix size
+// (the reference likewise never materializes the matrix, pbwt.c:313-337).
+
+namespace {
+
+// count 'B' records without decoding (for footer-less, pipe-written PBFs)
+int64_t pbf_scan_rows(FILE* in, int32_t m, int32_t g) {
+    int64_t n = 0;
+    for (;;) {
+        int t = fgetc(in);
+        if (t == 'S') {
+            if (fseeko(in, (off_t)g * m * 4, SEEK_CUR) != 0) return -1;
+            t = fgetc(in);
+        }
+        if (t != 'B') break;
+        for (int k = 0; k < g; ++k) {
+            int32_t l;
+            if (fread(&l, 4, 1, in) != 1) return -1;
+            if (fseeko(in, l, SEEK_CUR) != 0) return -1;
+        }
+        ++n;
+    }
+    return n;
+}
+
+bool pwrite_all(int fd, const void* buf, size_t n, int64_t off) {
+    const char* p = (const char*)buf;
+    while (n) {
+        ssize_t w = pwrite(fd, p, n, (off_t)off);
+        if (w <= 0) return false;
+        p += w;
+        off += w;
+        n -= (size_t)w;
+    }
+    return true;
+}
+
+}  // namespace
+
 int64_t bgt_gtc_from_pbf(const char* pbf_path, const char* gtc_path,
                          int32_t col_align) {
     FILE* in = fopen(pbf_path, "rb");
@@ -235,69 +281,124 @@ int64_t bgt_gtc_from_pbf(const char* pbf_path, const char* gtc_path,
     if (col_align < 32) col_align = 1024;
     int32_t n_words = (m + col_align - 1) / col_align * (col_align / 32);
 
+    // total rows: footer 'I' record via the trailing offset, else a walk
+    off_t data_pos = ftello(in);
+    int64_t n_rows = -1;
+    if (fseeko(in, -8, SEEK_END) == 0) {
+        uint64_t foff;
+        if (fread(&foff, 8, 1, in) == 1 && foff != (uint64_t)-1 &&
+            fseeko(in, (off_t)foff, SEEK_SET) == 0) {
+            int64_t nr;
+            if (fgetc(in) == 'I' && fread(&nr, 8, 1, in) == 1) n_rows = nr;
+        }
+    }
+    if (n_rows < 0) {
+        fseeko(in, data_pos, SEEK_SET);
+        n_rows = pbf_scan_rows(in, m, g);
+        if (n_rows < 0) {
+            fclose(in);
+            return -2;
+        }
+    }
+    fseeko(in, data_pos, SEEK_SET);
+
+    const int64_t hdr = 4 + 8 + 4 + 4;
+    const int64_t row_bytes = (int64_t)n_words * 4;
+    const int64_t plane_bytes = n_rows * row_bytes;
+    const int64_t stats_off = hdr + 2 * plane_bytes;
+    int fd = open(gtc_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (fd < 0) {
+        fclose(in);
+        return -4;
+    }
+    {
+        char h[20];
+        memcpy(h, "GTC\2", 4);
+        memcpy(h + 4, &n_rows, 8);
+        memcpy(h + 12, &m, 4);
+        memcpy(h + 16, &n_words, 4);
+        if (!pwrite_all(fd, h, 20, 0)) {
+            close(fd);
+            fclose(in);
+            return -5;
+        }
+    }
+
     std::vector<PbwtPlane*> planes;
     for (int k = 0; k < g; ++k) planes.push_back(new PbwtPlane(m));
     std::vector<uint8_t> rlebuf((size_t)m * 2 + 16);
-    // accumulate planes in memory (row-major per plane)
-    std::vector<std::vector<uint32_t>> plane_data(g);
-    std::vector<int32_t> stats;
-    int64_t n_rows = 0;
-    for (;;) {
-        int t = fgetc(in);
-        if (t == 'S') {
-            for (int k = 0; k < g; ++k)
-                if (fread(planes[k]->S.data(), 4, (size_t)m, in) != (size_t)m)
-                    goto done;
-            t = fgetc(in);
-        }
-        if (t != 'B') break;
-        for (int k = 0; k < g; ++k) {
-            int32_t l;
-            if (fread(&l, 4, 1, in) != 1) goto done;
-            if ((size_t)l > rlebuf.size()) rlebuf.resize(l);
-            if (fread(rlebuf.data(), 1, (size_t)l, in) != (size_t)l) goto done;
-            auto& pd = plane_data[k];
-            pd.resize(pd.size() + n_words, 0u);
-            planes[k]->decode_to_bits(rlebuf.data(), l,
-                                      pd.data() + pd.size() - n_words);
-        }
-        {
-            const uint32_t* r0 = plane_data[0].data() + (size_t)n_rows * n_words;
-            const uint32_t* r1 = plane_data[1].data() + (size_t)n_rows * n_words;
-            int32_t n10 = 0, n11 = 0, nb = 0;
-            for (int32_t w = 0; w < n_words; ++w) {
-                n10 += __builtin_popcount(r0[w]);
-                n11 += __builtin_popcount(r1[w]);
-                nb += __builtin_popcount(r0[w] & r1[w]);
+    int64_t block_rows = (8 << 20) / row_bytes;
+    if (block_rows < 16) block_rows = 16;
+    if (block_rows > n_rows && n_rows > 0) block_rows = n_rows;
+    std::vector<uint32_t> blk0((size_t)block_rows * n_words, 0u);
+    std::vector<uint32_t> blk1((size_t)block_rows * n_words, 0u);
+    std::vector<int32_t> sblk((size_t)block_rows * 4);
+
+    int64_t r = 0;
+    int rc = 0;
+    while (r < n_rows) {
+        int64_t nb_rows = std::min(block_rows, n_rows - r);
+        memset(blk0.data(), 0, (size_t)nb_rows * row_bytes);
+        memset(blk1.data(), 0, (size_t)nb_rows * row_bytes);
+        for (int64_t i = 0; i < nb_rows; ++i) {
+            int t = fgetc(in);
+            if (t == 'S') {
+                for (int k = 0; k < g; ++k)
+                    if (fread(planes[k]->S.data(), 4, (size_t)m, in) !=
+                        (size_t)m) {
+                        rc = -2;
+                        goto out;
+                    }
+                t = fgetc(in);
             }
-            int32_t cnt1 = n10 - nb, cnt2 = n11 - nb;
-            stats.push_back(m - cnt1 - cnt2 - nb);
-            stats.push_back(cnt1);
-            stats.push_back(cnt2);
-            stats.push_back(nb);
+            if (t != 'B') {
+                rc = -2;
+                goto out;
+            }
+            uint32_t* rows[2] = {blk0.data() + i * n_words,
+                                 blk1.data() + i * n_words};
+            for (int k = 0; k < g; ++k) {
+                int32_t l;
+                if (fread(&l, 4, 1, in) != 1) {
+                    rc = -2;
+                    goto out;
+                }
+                if ((size_t)l > rlebuf.size()) rlebuf.resize(l);
+                if (fread(rlebuf.data(), 1, (size_t)l, in) != (size_t)l) {
+                    rc = -2;
+                    goto out;
+                }
+                planes[k]->decode_to_bits(rlebuf.data(), l, rows[k]);
+            }
+            int32_t n10 = 0, n11 = 0, nbb = 0;
+            for (int32_t w = 0; w < n_words; ++w) {
+                n10 += __builtin_popcount(rows[0][w]);
+                n11 += __builtin_popcount(rows[1][w]);
+                nbb += __builtin_popcount(rows[0][w] & rows[1][w]);
+            }
+            int32_t cnt1 = n10 - nbb, cnt2 = n11 - nbb;
+            int32_t* s = sblk.data() + i * 4;
+            s[0] = m - cnt1 - cnt2 - nbb;
+            s[1] = cnt1;
+            s[2] = cnt2;
+            s[3] = nbb;
         }
-        ++n_rows;
+        if (!pwrite_all(fd, blk0.data(), (size_t)nb_rows * row_bytes,
+                        hdr + r * row_bytes) ||
+            !pwrite_all(fd, blk1.data(), (size_t)nb_rows * row_bytes,
+                        hdr + plane_bytes + r * row_bytes) ||
+            !pwrite_all(fd, sblk.data(), (size_t)nb_rows * 16,
+                        stats_off + r * 16)) {
+            rc = -5;
+            goto out;
+        }
+        r += nb_rows;
     }
-done:
+out:
     fclose(in);
     for (auto* pl : planes) delete pl;
-    FILE* out = fopen(gtc_path, "wb");
-    if (!out) return -4;
-    fwrite("GTC\2", 1, 4, out);
-    fwrite(&n_rows, 8, 1, out);
-    fwrite(&m, 4, 1, out);
-    fwrite(&n_words, 4, 1, out);
-    for (int k = 0; k < g; ++k)
-        if (!write_all(out, plane_data[k].data(), plane_data[k].size() * 4)) {
-            fclose(out);
-            return -5;
-        }
-    if (!write_all(out, stats.data(), stats.size() * 4)) {
-        fclose(out);
-        return -5;
-    }
-    if (fclose(out) != 0) return -6;
-    return n_rows;
+    if (close(fd) != 0 && rc == 0) rc = -6;
+    return rc == 0 ? n_rows : rc;
 }
 
 }  // extern "C"
