@@ -863,7 +863,8 @@ class BgtmReader:
                 self.alcnt += ((g1 == target) | (g2 == target))
             if self.flag & F_CNT_HAP and self.hap is not None:
                 hit = (self.a[0] == 1) & (self.a[1] == 0)
-                self.hap[hit] |= np.uint64(1 << len(self.aal))
+                # x86 shift semantics (mod 64), as the reference's 1ULL<<n
+                self.hap[hit] |= np.uint64(1 << (len(self.aal) & 63))
             self.aal.append(al_from_bcf(self.h_out, b)[0])
         return 0
 

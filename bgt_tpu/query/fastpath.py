@@ -419,9 +419,9 @@ def reset_shard_context() -> None:
 
 
 def applicable(opt, bm: engine.BgtmReader) -> bool:
-    # allele sets (-a) are a site prefilter here; only the -S/-H
-    # accumulators still need the per-site general path
-    return not bm.flag & (engine.F_CNT_AL | engine.F_CNT_HAP)
+    # the whole view surface runs here, including the -S/-H accumulators
+    # (batched over the tile store, _accumulate_al_hap)
+    return True
 
 
 class _DbCtx:
@@ -784,7 +784,8 @@ class FastView:
         n_rec = opt.n_rec if opt.n_rec is not None else None
         ctg_names = [n for n, _ in bm.h_out.ids[bcflib.BCF_DT_CTG]]
 
-        sel = np.nonzero(pass_mask)[0]
+        sel_all = np.nonzero(pass_mask)[0]
+        sel = sel_all
         if n_rec is not None and sel.size > n_rec:
             sel = sel[:n_rec]
         max_gt = getattr(opt, "max_gt", None)
@@ -792,8 +793,18 @@ class FastView:
         if max_gt is not None or srv_max_read is not None:
             sel, bm.truncated = self._truncate_server(mv, sel, max_gt,
                                                       srv_max_read)
-        if sel.size == 0:
-            return
+        if bm.h_al is not None and bm.flag & (engine.F_CNT_AL
+                                              | engine.F_CNT_HAP):
+            # the reference's loop reads one record past the -n / quota
+            # cutoff before breaking, so that site still accumulates -S/-H
+            # counts (view.c:151-156, bgt-server.go:330-336)
+            sel_acc = sel if sel.size == sel_all.size \
+                else sel_all[:sel.size + 1]
+            with stage("al-hap-counts"):
+                self._accumulate_al_hap(sel_acc, mv)
+
+        if sel.size == 0 or (getattr(opt, "not_vcf", False) and not bm.fields):
+            return  # -S/-H runs emit no records (view.c:151-156)
 
         bcf_writer = getattr(opt, "bcf_writer", None)
         if bcf_writer is not None:
@@ -851,6 +862,75 @@ class FastView:
                                  gac_m if n_groups > 1 else None,
                                  info_on, gt_codes_fn, ctg_names,
                                  gt_planes_spec)
+
+    def _accumulate_al_hap(self, sel, mv: MergedSites) -> None:
+        """-S/-H accumulators, batched over the tile store.
+
+        Replaces the reference's per-site scalar loops (bgt.c:859-876):
+        alcnt is a per-sample reduction over the selected sites, hapcnt a
+        per-haplotype bitmask OR — both one vectorized pass over the
+        decoded pair matrix per database."""
+        bm = self.bm
+        h_al = bm.h_al
+        do_al = bool(bm.flag & engine.F_CNT_AL) and bm.alcnt is not None
+        do_hap = bool(bm.flag & engine.F_CNT_HAP) and bm.hap is not None
+        n_sites = sel.size
+        base = len(bm.aal)
+        # per site: canonical allele key + count target (al_present,
+        # bgt.c:252-270: alt-key match -> count code 1, else the ref key
+        # matched -> count code 0; the -a prefilter guarantees one matches)
+        targets = np.ones(n_sites, dtype=np.uint8)
+        ctg = [n for n, _ in bm.h_out.ids[bcflib.BCF_DT_CTG]]
+        for k, i in enumerate(sel.tolist()):
+            ref = mv.ref_s(i)
+            alt = mv.alt_s(i).split(",", 1)[0]
+            min_l = min(len(ref), len(alt))
+            shift = 0
+            while shift < min_l and ref[shift] == alt[shift]:
+                shift += 1
+            chrom = ctg[int(mv.rid[i])]
+            pos = int(mv.pos[i]) + shift
+            rl = int(mv.rlen[i]) - shift
+            al = alt[shift:]
+            if f"{chrom}:{pos}:{rl}:{al}" not in h_al:
+                targets[k] = 0
+            bm.aal.append(engine.Allele(chrom, pos, rl, al, int(mv.rid[i])))
+        if not (do_al or do_hap) or bm.n_out == 0 or n_sites == 0:
+            return
+        # x86 shift semantics (count mod 64), as the reference's 1ULL<<n
+        weights = np.uint64(1) << ((np.uint64(base)
+                                    + np.arange(n_sites, dtype=np.uint64))
+                                   & np.uint64(63))
+        s_off = 0
+        for d, ctx in enumerate(self.dbs):
+            g = ctx.g
+            m = g.n_out
+            if m == 0:
+                continue
+            cols = np.empty(m * 2, dtype=np.int64)
+            cols[0::2] = np.asarray(g.out) * 2
+            cols[1::2] = np.asarray(g.out) * 2 + 1
+            pres = mv.pres[sel, d]
+            have = pres >= 0
+            # absent record: both haplotypes read as missing, pair (2,2)
+            pairs = np.full((n_sites, m), 10, dtype=np.uint8)
+            if have.any():
+                pairs[have] = ctx.pairs_for(pres[have], cols)
+            g1 = pairs >> 2  # haplotype 0 codes
+            g2 = pairs & 3   # haplotype 1 codes
+            if do_al:
+                t = targets[:, None]
+                bm.alcnt[s_off: s_off + m] += \
+                    ((g1 == t) | (g2 == t)).sum(axis=0)
+            if do_hap:
+                h1 = np.bitwise_or.reduce(
+                    (g1 == 1).astype(np.uint64) * weights[:, None], axis=0)
+                h2 = np.bitwise_or.reduce(
+                    (g2 == 1).astype(np.uint64) * weights[:, None], axis=0)
+                hv = bm.hap[s_off * 2: (s_off + m) * 2]
+                hv[0::2] |= h1
+                hv[1::2] |= h2
+            s_off += m
 
     def _emit_vcf_lines(self, out, sel, mv: MergedSites, an, ac, ac_m,
                         gan, gac, gac_m, info_on, gt_codes_fn, ctg_names,

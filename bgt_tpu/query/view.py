@@ -158,11 +158,22 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
             out.write(bm.h_out.vcf_text())
             wr = out
 
+    def epilogues() -> None:
+        # -H/-S reports after the read loop (view.c:158-174)
+        if opt.not_vcf and len(bm.aal) > 0:
+            if bm.flag & F_CNT_HAP:
+                out.write(bm.hapcnt_print())
+            if bm.flag & F_CNT_AL:
+                s = bm.alcnt_print()
+                if s:
+                    out.write(s)
+
     # batched device path (text always; binary BCF for single-DB native)
     from . import fastpath
     if fastpath.applicable(opt, bm):
         if bgzf_out is None:
             fastpath.FastView(bm, opt).run(out)
+            epilogues()
             bm.close()
             return 0
         from .. import native
@@ -170,6 +181,7 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
             opt.bcf_writer = bgzf_out
             fastpath.FastView(bm, opt).run(out)
             bgzf_out.close()
+            epilogues()
             bm.close()
             return 0
 
@@ -200,13 +212,7 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
             out.write(bm.tbl_line + "\n")
         n_read += 1
 
-    if opt.not_vcf and len(bm.aal) > 0:
-        if bm.flag & F_CNT_HAP:
-            out.write(bm.hapcnt_print())
-        if bm.flag & F_CNT_AL:
-            s = bm.alcnt_print()
-            if s:
-                out.write(s)
+    epilogues()
 
     if bgzf_out is not None:
         bgzf_out.close()

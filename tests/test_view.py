@@ -435,3 +435,103 @@ def test_fmf_cli_parity(tmp_path, ref_bgt):
         finally:
             _os.chdir(old)
         assert buf.getvalue() == ref.stdout.decode(), args
+
+
+def test_alcnt_hapcnt_deep_parity(db, ref_bgt):
+    """-S/-H through the batched fastpath (VERDICT r2 item 2): region and
+    subset interplay, group quirk, ref-allele keys, the -n read-one-extra
+    quirk, and -t table mode with allele sets."""
+    res = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=db,
+                         capture_output=True)
+    keys = res.stdout.decode().splitlines()
+    pick = ",".join(keys[2:40])
+    cases = [
+        ["-a," + pick, "-S"],
+        ["-a," + pick, "-H"],
+        ["-a," + pick, "-S", "-H"],
+        ["-a," + pick, "-S", "-s", ",S0001,S0003,S0005"],
+        ["-a," + pick, "-H", "-s", 'population=="CEU"', "-s",
+         'population=="YRI"'],
+        ["-a," + pick, "-S", "-r", "11:1-150000"],
+        ["-a," + pick, "-S", "-n", "3"],
+        ["-a," + pick, "-H", "-n", "2"],
+        ["-a," + pick, "-S", "-n", "0"],
+        ["-a," + pick, "-S", "-f", "AC>1"],
+        ["-a," + pick, "-H", "-f", "AN>0&&AC>0"],
+        ["-a," + pick, "-t", "AC,AN", "-S"],
+    ]
+    for args in cases:
+        ref = subprocess.run([ref_bgt, "view"] + args + ["refdb"],
+                             cwd=db, capture_output=True)
+        assert ref.returncode == 0, (args, ref.stderr.decode())
+        ours = run_ours(args, db)
+        assert ours == ref.stdout.decode(), args
+
+
+def test_alcnt_ref_allele_keys(db, ref_bgt):
+    """-a with REF-side keys: al_present returns 2 and -S counts code 0
+    carriers (bgt.c:860-869 target flip)."""
+    res = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=db,
+                         capture_output=True)
+    keys = res.stdout.decode().splitlines()
+    # build ref-side keys: chrom:pos:rlen:REF from the site table
+    from bgt_tpu.query import engine as eng
+    import os
+    old = os.getcwd()
+    os.chdir(db)
+    try:
+        bf = eng.BgtFile("ourdb")
+        refkeys = []
+        import numpy as np
+        from bgt_tpu.query.fastpath import get_site_table
+        st = get_site_table(bf)
+        for r in range(0, min(st.n, 60), 3):
+            ref = st.refs[r].decode("latin-1")
+            alt = st.alts[r].decode("latin-1")
+            min_l = min(len(ref), len(alt))
+            s = 0
+            while s < min_l and ref[s] == alt[s]:
+                s += 1
+            refkeys.append(f"11:{int(st.pos[r]) + 1 + s}:"
+                           f"{int(st.rlen[r]) - s}:{ref[s:]}")
+    finally:
+        os.chdir(old)
+    pick = ",".join(refkeys[:12])
+    for mode in (["-S"], ["-H"], ["-S", "-H"]):
+        ref = subprocess.run([ref_bgt, "view", "-a," + pick] + mode + ["refdb"],
+                             cwd=db, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        ours = run_ours(["-a," + pick] + mode, db)
+        assert ours == ref.stdout.decode(), mode
+
+
+def test_alcnt_hapcnt_multidb(tmp_path, ref_bgt):
+    """-S/-H across a 2-database merge (missing-fill interplay)."""
+    for name, seed, n in (("a", 61, 10), ("b", 62, 14)):
+        vcf = testing.random_vcf(n_samples=n, n_sites=120, seed=seed,
+                                 sample_prefix=name.upper())
+        (tmp_path / f"{name}.vcf").write_text(vcf)
+        res = subprocess.run([ref_bgt, "import", "-S", f"ref{name}",
+                              f"{name}.vcf"], cwd=tmp_path, capture_output=True)
+        assert res.returncode == 0, res.stderr.decode()
+        importer.import_vcf(str(tmp_path / f"our{name}"),
+                            [str(tmp_path / f"{name}.vcf")], is_vcf=True)
+    res = subprocess.run([ref_bgt, "getalt", "refa"], cwd=tmp_path,
+                         capture_output=True)
+    keys = res.stdout.decode().splitlines()
+    pick = ",".join(keys[1:30:2])
+    for mode in (["-S"], ["-H"], ["-S", "-n", "4"]):
+        ref = subprocess.run(
+            [ref_bgt, "view", "-a," + pick] + mode + ["refa", "refb"],
+            cwd=tmp_path, capture_output=True)
+        assert ref.returncode == 0, ref.stderr.decode()
+        buf = io.StringIO()
+        import os
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            ret = main_view(["-a," + pick] + mode + ["oura", "ourb"], out=buf)
+        finally:
+            os.chdir(old)
+        assert ret == 0
+        assert buf.getvalue() == ref.stdout.decode(), mode
