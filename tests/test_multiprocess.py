@@ -27,6 +27,7 @@ import os, sys
 pid = int(sys.argv[1]); port = sys.argv[2]; dbdir = sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["BGT_TPU_COUNT_TIER"] = "device"  # exercise the mesh, not the host tier
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
@@ -111,6 +112,7 @@ import os, sys
 pid = int(sys.argv[1]); port = sys.argv[2]; dbdir = sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["BGT_TPU_COUNT_TIER"] = "device"  # exercise the mesh, not the host tier
 os.environ["BGT_TPU_TILE_SHARD"] = f"{pid}:2"
 import jax
 jax.config.update("jax_platforms", "cpu")

@@ -153,6 +153,9 @@ def test_view_sharded_vs_unsharded(tmp_path, ref_bgt, monkeypatch):
 
     def run(shard_env):
         monkeypatch.setenv("BGT_TPU_SHARD", shard_env)
+        # force the device/mesh tier: this test is about mesh correctness,
+        # not the cost model (which would route this tiny shape to host)
+        monkeypatch.setenv("BGT_TPU_COUNT_TIER", "device")
         fastpath.reset_shard_context()
         buf = io.StringIO()
         old = os.getcwd()
@@ -243,3 +246,39 @@ def test_distributed_helpers_single_process():
     got = np.asarray(fn(g0, g1, msk, 0, 32))
     want = ref_counts(codes, [np.arange(ts.m)])
     assert np.array_equal(got, want)
+
+
+def test_cost_based_count_tier(tmp_path, ref_bgt, monkeypatch):
+    """A one-shot subset query on a small DB must resolve on the host and
+    never touch the device (VERDICT r2: the tunneled-TPU first-transfer
+    penalty made cold CLI subsets pathological)."""
+    import io
+    import os
+    import subprocess
+    from bgt_tpu import testing
+    from bgt_tpu.query import importer, fastpath
+    from bgt_tpu.query.view import main_view
+    vcf = testing.random_vcf(n_samples=20, n_sites=120, seed=66)
+    (tmp_path / "in.vcf").write_text(vcf)
+    importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    ref = subprocess.run(
+        [ref_bgt, "view", "-G", "-C", "-s", ",S0001,S0002", "db"],
+        cwd=tmp_path, capture_output=True, check=True).stdout.decode()
+    monkeypatch.delenv("BGT_TPU_COUNT_TIER", raising=False)
+    fastpath._COUNT_MEMO.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("device path used for a cold small query")
+    monkeypatch.setattr(fastpath, "get_device_tiles", boom)
+    monkeypatch.setattr(fastpath, "stream_counts", boom)
+    monkeypatch.setattr(fastpath, "get_shard_context", boom)
+    buf = io.StringIO()
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main_view(["-G", "-C", "-s", ",S0001,S0002", "db"],
+                         out=buf) == 0
+    finally:
+        os.chdir(old)
+    assert buf.getvalue() == ref
