@@ -91,6 +91,16 @@ def get_lib():
                                       ctypes.c_void_p, ctypes.c_void_p]
     lib.bgt_fmf_scan_free.restype = None
     lib.bgt_fmf_scan_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_site_scan.restype = ctypes.c_void_p
+    lib.bgt_site_scan.argtypes = [ctypes.c_char_p]
+    lib.bgt_site_scan_n.restype = ctypes.c_int64
+    lib.bgt_site_scan_n.argtypes = [ctypes.c_void_p]
+    lib.bgt_site_scan_data.restype = None
+    lib.bgt_site_scan_data.argtypes = [ctypes.c_void_p] + \
+        [ctypes.c_void_p] * 7 + [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_void_p]
+    lib.bgt_site_scan_free.restype = None
+    lib.bgt_site_scan_free.argtypes = [ctypes.c_void_p]
     lib.bgt_emit_bcf_records.restype = ctypes.c_int64
     lib.bgt_emit_bcf_records.argtypes = (
         [ctypes.c_int64] + [ctypes.c_void_p] * 3            # rid, pos, rlen
@@ -519,6 +529,49 @@ class NativePbfWriter:
         if self._h:
             self._lib.bgt_pbf_writer_close(self._h)
             self._h = None
+
+
+def site_scan(bcf_path: str):
+    """Columnar scan of a site BCF: (rid i32, pos i64, rlen i64, n_allele
+    i32, ref_len i64, alt_len i64, ref_cat bytes, alt_cat bytes) or None
+    when the native library is unavailable.  Arrays are copies."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.bgt_site_scan(bcf_path.encode())
+    if not h:
+        raise OSError(f"cannot scan site BCF '{bcf_path}'")
+    try:
+        n = lib.bgt_site_scan_n(h)
+        ptrs = [ctypes.c_void_p() for _ in range(8)]
+        rc_len = ctypes.c_int64()
+        ac_len = ctypes.c_int64()
+        lib.bgt_site_scan_data(h, ctypes.byref(ptrs[0]), ctypes.byref(ptrs[1]),
+                               ctypes.byref(ptrs[2]), ctypes.byref(ptrs[3]),
+                               ctypes.byref(ptrs[4]), ctypes.byref(ptrs[5]),
+                               ctypes.byref(ptrs[6]), ctypes.byref(rc_len),
+                               ctypes.byref(ptrs[7]), ctypes.byref(ac_len))
+
+        def arr(ptr, dtype):
+            if n == 0:
+                return np.zeros(0, dtype=dtype)
+            ct = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+                shape=(n * np.dtype(dtype).itemsize,))
+            return ct.view(dtype).copy()
+
+        rid = arr(ptrs[0], np.int32)
+        pos = arr(ptrs[1], np.int64)
+        rlen = arr(ptrs[2], np.int64)
+        nal = arr(ptrs[3], np.int32)
+        ref_len = arr(ptrs[4], np.int64)
+        alt_len = arr(ptrs[5], np.int64)
+        ref_cat = ctypes.string_at(ptrs[6], rc_len.value) if rc_len.value else b""
+        alt_cat = ctypes.string_at(ptrs[7], ac_len.value) if ac_len.value else b""
+        return rid, pos, rlen, nal, ref_len, alt_len, ref_cat, alt_cat
+    finally:
+        lib.bgt_site_scan_free(h)
 
 
 def gtc_from_pbf(pbf_path: str, gtc_path: str, col_align: int = 1024) -> int | None:

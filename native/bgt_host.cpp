@@ -1501,3 +1501,256 @@ extern "C" int64_t bgt_emit_bcf_records_mt(
         if (chunk_lens[c] < 0) return -1;
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Native site-BCF scan: columnar (rid, pos, rlen, n_allele, REF, ALT1)
+// arrays for SiteTable's one-time first scan (bgt_tpu/query/fastpath.py).
+// Replaces the per-record Python Bcf1.read loop, which at reference scale
+// (39.2M sites, tex/bgt.tex:187) costs hours vs seconds here.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// sequential BGZF (blocked-gzip) reader: raw-deflate blocks framed per
+// the htslib spec (reference bgzf.c:318-379)
+struct BgzfSeq {
+    FILE* fp = nullptr;
+    std::vector<uint8_t> buf;
+    size_t pos = 0;
+    bool eof = false;
+
+    bool fill() {
+        uint8_t hdr[12];
+        size_t got = fread(hdr, 1, 12, fp);
+        if (got == 0) {
+            eof = true;
+            return false;
+        }
+        if (got != 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+        int xlen = hdr[10] | hdr[11] << 8;
+        std::vector<uint8_t> extra(xlen);
+        if ((int)fread(extra.data(), 1, xlen, fp) != xlen) return false;
+        int bsize = -1;
+        for (int i = 0; i + 4 <= xlen;) {
+            int slen = extra[i + 2] | extra[i + 3] << 8;
+            if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2)
+                bsize = (extra[i + 4] | extra[i + 5] << 8) + 1;
+            i += 4 + slen;
+        }
+        if (bsize < 0) return false;
+        // block = 12-byte gzip header + XLEN extra + CDATA + CRC32 + ISIZE
+        int cdata_len = bsize - xlen - 20;
+        if (cdata_len < 0) return false;
+        std::vector<uint8_t> cdata(cdata_len);
+        if ((int)fread(cdata.data(), 1, cdata_len, fp) != cdata_len)
+            return false;
+        uint8_t tail[8];
+        if (fread(tail, 1, 8, fp) != 8) return false;
+        uint32_t isize = tail[4] | tail[5] << 8 | tail[6] << 16 |
+                         (uint32_t)tail[7] << 24;
+        if (pos > 0) {
+            buf.erase(buf.begin(), buf.begin() + pos);
+            pos = 0;
+        }
+        size_t old = buf.size();
+        buf.resize(old + isize);
+        if (isize) {
+            z_stream zs{};
+            if (inflateInit2(&zs, -15) != Z_OK) return false;
+            zs.next_in = cdata.data();
+            zs.avail_in = cdata_len;
+            zs.next_out = buf.data() + old;
+            zs.avail_out = isize;
+            int r = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (r != Z_STREAM_END) return false;
+        }
+        return true;
+    }
+
+    // ensure n bytes available at buf[pos..]; false on clean EOF with 0
+    // available, error state otherwise checked by caller via avail()
+    bool want(size_t n) {
+        while (buf.size() - pos < n) {
+            if (!fill()) return false;
+        }
+        return true;
+    }
+
+    size_t avail() const { return buf.size() - pos; }
+};
+
+struct SiteScanResult {
+    std::vector<int32_t> rid, nal;
+    std::vector<int64_t> pos, rlen, ref_len, alt_len;
+    std::vector<uint8_t> ref_cat, alt_cat;
+    int64_t n = 0;
+};
+
+// typed-value size descriptor (vcf.c typed encoding): returns false on
+// malformed input; advances off past the descriptor
+bool dec_size(const uint8_t* b, size_t len, size_t& off, uint32_t& sz,
+              int& btype) {
+    if (off >= len) return false;
+    btype = b[off] & 0xF;
+    uint32_t s = b[off] >> 4;
+    ++off;
+    if (s != 15) {
+        sz = s;
+        return true;
+    }
+    if (off >= len) return false;
+    int t2 = b[off] & 0xF;
+    uint32_t s2 = b[off] >> 4;
+    ++off;
+    (void)s2;
+    if (t2 == 1) {
+        if (off + 1 > len) return false;
+        sz = b[off];
+        off += 1;
+    } else if (t2 == 2) {
+        if (off + 2 > len) return false;
+        sz = b[off] | b[off + 1] << 8;
+        off += 2;
+    } else if (t2 == 3) {
+        if (off + 4 > len) return false;
+        sz = b[off] | b[off + 1] << 8 | b[off + 2] << 16 |
+             (uint32_t)b[off + 3] << 24;
+        off += 4;
+    } else {
+        return false;
+    }
+    return true;
+}
+
+const int kTypeShift[16] = {0, 0, 1, 2, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+
+}  // namespace
+
+extern "C" {
+
+void* bgt_site_scan(const char* path) {
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return nullptr;
+    BgzfSeq in;
+    in.fp = fp;
+    auto fail = [&]() -> void* {
+        fclose(fp);
+        return nullptr;
+    };
+    if (!in.want(9)) return fail();
+    const uint8_t* p = in.buf.data() + in.pos;
+    if (memcmp(p, "BCF\2\2", 5) != 0) return fail();
+    uint32_t l_text = p[5] | p[6] << 8 | p[7] << 16 | (uint32_t)p[8] << 24;
+    in.pos += 9;
+    // skip the header text (may span many blocks)
+    {
+        size_t left = l_text;
+        while (left) {
+            if (in.avail() == 0 && !in.fill()) return fail();
+            size_t take = std::min(left, in.avail());
+            in.pos += take;
+            left -= take;
+        }
+    }
+    auto* res = new SiteScanResult();
+    std::vector<uint8_t> shared;
+    for (;;) {
+        if (!in.want(32)) {
+            if (in.avail() == 0 && in.eof) break;  // clean EOF
+            delete res;
+            return fail();
+        }
+        const uint8_t* h = in.buf.data() + in.pos;
+        uint32_t l_shared, l_indiv;
+        int32_t rid, posv, rlenv;
+        uint32_t w6, w7;
+        memcpy(&l_shared, h, 4);
+        memcpy(&l_indiv, h + 4, 4);
+        memcpy(&rid, h + 8, 4);
+        memcpy(&posv, h + 12, 4);
+        memcpy(&rlenv, h + 16, 4);
+        memcpy(&w6, h + 24, 4);
+        memcpy(&w7, h + 28, 4);
+        (void)w7;
+        if (l_shared < 24) {
+            delete res;
+            return fail();
+        }
+        l_shared -= 24;
+        in.pos += 32;
+        uint32_t n_allele = w6 >> 16;
+        if (!in.want(l_shared + l_indiv)) {
+            delete res;
+            return fail();
+        }
+        shared.assign(in.buf.data() + in.pos,
+                      in.buf.data() + in.pos + l_shared);
+        in.pos += l_shared + l_indiv;
+        // parse: ID (skip), REF, ALT1 (bcf_get_ref_alt1, vcf.c:1129-1142)
+        size_t off = 0;
+        uint32_t sz;
+        int t;
+        if (!dec_size(shared.data(), shared.size(), off, sz, t)) {
+            delete res;
+            return fail();
+        }
+        off += (size_t)sz << kTypeShift[t];
+        size_t ref_start;
+        uint32_t ref_sz = 0, alt_sz = 0;
+        if (!dec_size(shared.data(), shared.size(), off, sz, t) ||
+            off + ((size_t)sz << kTypeShift[t]) > shared.size()) {
+            delete res;
+            return fail();
+        }
+        ref_sz = sz;
+        ref_start = off;
+        off += (size_t)sz << kTypeShift[t];
+        size_t alt_start = off;
+        if (n_allele > 1) {
+            if (!dec_size(shared.data(), shared.size(), off, sz, t) ||
+                off + ((size_t)sz << kTypeShift[t]) > shared.size()) {
+                delete res;
+                return fail();
+            }
+            alt_sz = sz;
+            alt_start = off;
+        }
+        res->rid.push_back(rid);
+        res->pos.push_back(posv);
+        res->rlen.push_back(rlenv);
+        res->nal.push_back((int32_t)n_allele);
+        res->ref_len.push_back(ref_sz);
+        res->alt_len.push_back(alt_sz);
+        res->ref_cat.insert(res->ref_cat.end(), shared.data() + ref_start,
+                            shared.data() + ref_start + ref_sz);
+        res->alt_cat.insert(res->alt_cat.end(), shared.data() + alt_start,
+                            shared.data() + alt_start + alt_sz);
+        ++res->n;
+    }
+    fclose(fp);
+    return res;
+}
+
+int64_t bgt_site_scan_n(void* h) { return ((SiteScanResult*)h)->n; }
+
+void bgt_site_scan_data(void* h, void** rid, void** pos, void** rlen,
+                        void** nal, void** ref_len, void** alt_len,
+                        void** ref_cat, int64_t* ref_cat_len, void** alt_cat,
+                        int64_t* alt_cat_len) {
+    auto* r = (SiteScanResult*)h;
+    *rid = r->rid.data();
+    *pos = r->pos.data();
+    *rlen = r->rlen.data();
+    *nal = r->nal.data();
+    *ref_len = r->ref_len.data();
+    *alt_len = r->alt_len.data();
+    *ref_cat = r->ref_cat.data();
+    *ref_cat_len = (int64_t)r->ref_cat.size();
+    *alt_cat = r->alt_cat.data();
+    *alt_cat_len = (int64_t)r->alt_cat.size();
+}
+
+void bgt_site_scan_free(void* h) { delete (SiteScanResult*)h; }
+
+}  // extern "C"

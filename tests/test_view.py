@@ -535,3 +535,42 @@ def test_alcnt_hapcnt_multidb(tmp_path, ref_bgt):
             os.chdir(old)
         assert ret == 0
         assert buf.getvalue() == ref.stdout.decode(), mode
+
+
+def test_merge_lexsort_vs_dict_oracle(tmp_path, ref_bgt):
+    """The vectorized union merge must equal the dict merge field-for-field
+    on overlapping multi-DB row sets (including duplicate atom keys)."""
+    import numpy as np
+    from bgt_tpu.query import engine as eng, fastpath, view as viewmod
+    dbs = []
+    for name, seed, n in (("x", 71, 8), ("y", 72, 12), ("z", 73, 5)):
+        vcf = testing.random_vcf(n_samples=n, n_sites=200, seed=seed,
+                                 p_multi=0.4, p_indel=0.4,
+                                 sample_prefix=name.upper())
+        (tmp_path / f"{name}.vcf").write_text(vcf)
+        importer.import_vcf(str(tmp_path / name),
+                            [str(tmp_path / f"{name}.vcf")], is_vcf=True)
+        dbs.append(str(tmp_path / name))
+    bfiles = [eng.BgtFile(p) for p in dbs]
+    bm = eng.BgtmReader(bfiles)
+    bm.prepare()
+    opt = viewmod.ViewOpt() if hasattr(viewmod, "ViewOpt") else None
+    fv = fastpath.FastView(bm, opt)
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        rows_per_db = []
+        for ctx in fv.dbs:
+            n_sites = ctx.st.n
+            k = int(rng.integers(0, n_sites + 1))
+            rows_per_db.append(np.sort(rng.choice(n_sites, k, replace=False))
+                               .astype(np.int64))
+        a = fv._merge_lexsort(rows_per_db)
+        b = fv._merge_dict(rows_per_db)
+        assert a is not None
+        assert a.n == b.n, trial
+        assert np.array_equal(a.pres, b.pres)
+        for f in ("rid", "pos", "rlen", "n_allele", "ref_len", "alt_len",
+                  "ref_off", "alt_off"):
+            assert np.array_equal(getattr(a, f), getattr(b, f)), (trial, f)
+        assert a.ref_cat == b.ref_cat and a.alt_cat == b.alt_cat, trial
+    bm.close()
