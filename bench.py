@@ -398,6 +398,21 @@ def main():
     if not measure_subsets(extra):
         if primary is not None and not extra[PRIMARY].get("parity_subset", True):
             primary = None
+    # scaling methodology block (tools/bench_scaling.py; BASELINE.md:29)
+    try:
+        out = subprocess.run([sys.executable,
+                              str(REPO / "tools" / "bench_scaling.py")],
+                             capture_output=True, text=True, timeout=1200)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                extra["scaling"] = json.loads(line)["scaling"]
+                eff = extra["scaling"].get("processes", {}).get("2", {})
+                log(f"scaling: 2-process efficiency "
+                    f"{eff.get('efficiency', 'n/a')} (software-overhead "
+                    f"measure; real ICI needs multi-chip hardware)")
+                break
+    except Exception as e:  # noqa: BLE001 - methodology block is best-effort
+        extra["scaling"] = {"error": str(e)[:200]}
     value, vs = (0.0, 0.0) if primary is None else primary
     print(json.dumps({
         "metric": "sites/s, warm view -GC (2504 samples x 105730 sites)",
