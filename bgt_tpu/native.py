@@ -101,6 +101,24 @@ def get_lib():
                                  ctypes.c_void_p]
     lib.bgt_site_scan_free.restype = None
     lib.bgt_site_scan_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_import_text.restype = ctypes.c_void_p
+    lib.bgt_import_text.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,  # paths
+        ctypes.c_char_p, ctypes.c_int64,                    # header blob
+        ctypes.c_char_p, ctypes.c_int32,                    # contigs
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,   # filters
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,     # n_smp/keep/clevel
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,     # row_kid/end/cigar
+        ctypes.c_int32,                                     # shift
+    ]
+    lib.bgt_import_n.restype = ctypes.c_int64
+    lib.bgt_import_n.argtypes = [ctypes.c_void_p]
+    lib.bgt_import_voff0.restype = ctypes.c_uint64
+    lib.bgt_import_voff0.argtypes = [ctypes.c_void_p]
+    lib.bgt_import_meta.restype = None
+    lib.bgt_import_meta.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+    lib.bgt_import_free.restype = None
+    lib.bgt_import_free.argtypes = [ctypes.c_void_p]
     lib.bgt_emit_bcf_records.restype = ctypes.c_int64
     lib.bgt_emit_bcf_records.argtypes = (
         [ctypes.c_int64] + [ctypes.c_void_p] * 3            # rid, pos, rlen
@@ -529,6 +547,55 @@ class NativePbfWriter:
         if self._h:
             self._lib.bgt_pbf_writer_close(self._h)
             self._h = None
+
+
+def import_text(vcf_path: str, pbf_path: str, bcf_path: str,
+                bcf_hdr_blob: bytes, contigs: list[str],
+                filters: list[tuple[str, int]], n_samples: int,
+                keep_flt: bool, clevel: int, row_kid: int,
+                end_defined: bool, cigar_defined: bool, shift: int):
+    """One-pass native text-VCF import (parse + atomize + .bcf/.pbf write).
+
+    Returns (n_rows, rid i32, pos i64, end i64, voff u64, voff0) for CSI
+    construction, or None when the native library is unavailable or the
+    input needs the Python path (caller falls back)."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    contigs_cat = b"\x00".join(c.encode("latin-1") for c in contigs) + b"\x00"
+    fnames = b"\x00".join(f.encode("latin-1") for f, _ in filters) + b"\x00"
+    fids = np.array([i for _, i in filters], dtype=np.int32)
+    h = lib.bgt_import_text(
+        vcf_path.encode(), pbf_path.encode(), bcf_path.encode(),
+        bcf_hdr_blob, len(bcf_hdr_blob), contigs_cat, len(contigs),
+        fnames, fids.ctypes.data_as(ctypes.c_void_p), fids.size,
+        n_samples, int(keep_flt), clevel, row_kid,
+        int(end_defined), int(cigar_defined), shift)
+    if not h:
+        return None
+    try:
+        n = lib.bgt_import_n(h)
+        voff0 = lib.bgt_import_voff0(h)
+        p_rid = ctypes.c_void_p()
+        p_pos = ctypes.c_void_p()
+        p_end = ctypes.c_void_p()
+        p_voff = ctypes.c_void_p()
+        lib.bgt_import_meta(h, ctypes.byref(p_rid), ctypes.byref(p_pos),
+                            ctypes.byref(p_end), ctypes.byref(p_voff))
+
+        def arr(ptr, dtype):
+            if n == 0:
+                return np.zeros(0, dtype=dtype)
+            ct = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+                shape=(n * np.dtype(dtype).itemsize,))
+            return ct.view(dtype).copy()
+
+        return (int(n), arr(p_rid, np.int32), arr(p_pos, np.int64),
+                arr(p_end, np.int64), arr(p_voff, np.uint64), int(voff0))
+    finally:
+        lib.bgt_import_free(h)
 
 
 def site_scan(bcf_path: str):

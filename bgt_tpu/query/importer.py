@@ -44,13 +44,61 @@ def build_bcf_index(fn: str, min_shift: int = 14) -> None:
     idx.save(fn)
 
 
+def _native_import(prefix: str, vcf_path: str, h, h0, keep_filtered: bool,
+                   clevel: int, n_samples: int) -> int | None:
+    """One-pass native import (parse+atomize+write in C++); returns n rows
+    or None when the native path is unavailable/inapplicable (caller falls
+    back to the Python pipeline; partial outputs are removed natively)."""
+    import os
+
+    from .. import native
+    if native.get_lib() is None:
+        return None
+    data = h0.raw[: h0.l_text].encode("latin-1")
+    import struct
+    blob = b"BCF\x02\x02" + struct.pack("<i", len(data)) + data
+    contigs = [name for name, _ in h.ids[bcflib.BCF_DT_CTG]]
+    filters = [(name, ii.id) for name, ii in h.ids[bcflib.BCF_DT_ID]]
+
+    def _ht(key):
+        ii = h.dicts[bcflib.BCF_DT_ID].get(key)
+        if ii is None or ii.info[bcflib.BCF_HL_INFO] == 15:
+            return -1
+        return (ii.info[bcflib.BCF_HL_INFO] >> 4) & 0xF
+
+    row_kid = h0.id2int(bcflib.BCF_DT_ID, "_row")
+    res = native.import_text(
+        vcf_path, f"{prefix}.pbf", f"{prefix}.bcf", blob, contigs, filters,
+        n_samples, keep_filtered, clevel, row_kid,
+        _ht("END") == bcflib.BCF_HT_INT, _ht("CIGAR") == bcflib.BCF_HT_STR,
+        PBF_SHIFT)
+    if res is None:
+        return None
+    n, rid, pos, end, voff, voff0 = res
+    # CSI + RNI directly from the writer's record offsets (no re-read)
+    max_len = 0
+    for _name, ii in h0.ids[bcflib.BCF_DT_CTG]:
+        max_len = max(max_len, ii.info[0])
+    max_len += 256
+    n_lvls, s = 0, 1 << 14
+    while max_len > s:
+        n_lvls += 1
+        s <<= 3
+    idx = HtsIndex(h0.n(bcflib.BCF_DT_CTG), 14, n_lvls, offset0=voff0)
+    push = idx.push
+    for i in range(n):
+        push(int(rid[i]), int(pos[i]), int(end[i]), int(voff[i]), True)
+    idx.finish(os.path.getsize(f"{prefix}.bcf") << 16)
+    idx.save(f"{prefix}.bcf")
+    return n
+
+
 def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
                keep_filtered: bool = False, clevel: int = -1,
                fn_ref: str | None = None) -> int:
     """Import VCF/BCF file(s) into a BGT database at ``prefix``."""
     first = files.open_vcf(inputs[0], is_vcf, fn_ref)
     h = first.header
-    ab = AtomBuffer(h, first, keep_filtered)
     n_samples = h.n(bcflib.BCF_DT_SAMPLE)
     assert n_samples > 0, "input must have samples"
 
@@ -62,6 +110,18 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
     with open(f"{prefix}.spl", "w") as fp:
         for s in h.samples:
             fp.write(s + "\n")
+
+    import os
+    if (len(inputs) == 1 and fn_ref is None
+            and isinstance(first, files.VcfTextReader)
+            and os.environ.get("BGT_TPU_NATIVE_IMPORT", "1") != "0"):
+        n = _native_import(prefix, inputs[0], h, h0, keep_filtered, clevel,
+                           n_samples)
+        if n is not None:
+            first.close()
+            return n
+
+    ab = AtomBuffer(h, first, keep_filtered)
 
     from .. import native
     pbf = None

@@ -9,13 +9,17 @@
 // vectorized-numpy paths when the library is absent.
 
 #include <cctype>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <deque>
+#include <mutex>
 #include <string>
 #include <string_view>
 #include <thread>
+#include <chrono>
 #include <unordered_map>
 #include <vector>
 
@@ -1752,5 +1756,778 @@ void bgt_site_scan_data(void* h, void** rid, void** pos, void** rlen,
 }
 
 void bgt_site_scan_free(void* h) { delete (SiteScanResult*)h; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native text-VCF importer: parse + atomize + site-BCF/PBF emission in one
+// C++ pass (reference import.c:8-120 + atomic.c).  Python handles header
+// construction, .spl, and the CSI index; on any input anomaly this returns
+// a negative code and the caller falls back to the pure-Python importer.
+// Byte-compatibility contracts: site .bcf records mirror
+// bgt_tpu/core/atomize.py:atom_to_bcf + Bcf1.append_info_ints, BGZF blocks
+// mirror bgt_tpu/io/bgzf.py (0xff00 payload blocks, raw deflate), .pbf
+// mirrors the streaming writer above.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// BGZF writer with the exact python BgzfWriter framing
+struct BgzfOut {
+    FILE* fp = nullptr;
+    int level = -1;
+    std::vector<uint8_t> buf;   // pending uncompressed payload
+    uint64_t block_address = 0; // compressed offset of the filling block
+    std::vector<uint8_t> cbuf;
+
+    static constexpr size_t kBlock = 0xFF00;
+
+    bool flush_one(size_t n) {
+        static const uint8_t kHdr[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
+                                         0,    0xff, 0x06, 0,    'B', 'C', 2, 0};
+        cbuf.resize(compressBound(n) + 64);
+        z_stream zs{};
+        int lv = (level < 0 || level > 9) ? Z_DEFAULT_COMPRESSION : level;
+        if (deflateInit2(&zs, lv, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) !=
+            Z_OK)
+            return false;
+        zs.next_in = buf.data();
+        zs.avail_in = n;
+        zs.next_out = cbuf.data();
+        zs.avail_out = cbuf.size();
+        int r = deflate(&zs, Z_FINISH);
+        size_t clen = zs.total_out;
+        deflateEnd(&zs);
+        if (r != Z_STREAM_END) return false;
+        uint32_t crc = crc32(0, buf.data(), n);
+        uint16_t bsize = (uint16_t)(clen + 18 + 8 - 1);
+        uint32_t isize = (uint32_t)n;
+        if (fwrite(kHdr, 1, 16, fp) != 16) return false;
+        if (fwrite(&bsize, 2, 1, fp) != 1) return false;
+        if (fwrite(cbuf.data(), 1, clen, fp) != clen) return false;
+        if (fwrite(&crc, 4, 1, fp) != 1) return false;
+        if (fwrite(&isize, 4, 1, fp) != 1) return false;
+        block_address += clen + 18 + 8;
+        buf.erase(buf.begin(), buf.begin() + n);
+        return true;
+    }
+
+    bool write(const void* data, size_t n) {
+        const uint8_t* p = (const uint8_t*)data;
+        buf.insert(buf.end(), p, p + n);
+        while (buf.size() >= kBlock)
+            if (!flush_one(kBlock)) return false;
+        return true;
+    }
+
+    uint64_t vtell() const {
+        return (block_address << 16) | (buf.size() & 0xFFFF);
+    }
+
+    bool close() {
+        static const uint8_t kEof[28] = {
+            0x1f, 0x8b, 0x08, 0x04, 0, 0,    0, 0, 0, 0xff, 0x06, 0, 'B', 'C',
+            2,    0,    0x1b, 0,    3, 0,    0, 0, 0, 0,    0,    0, 0,   0};
+        while (!buf.empty())
+            if (!flush_one(std::min(buf.size(), kBlock))) return false;
+        if (fwrite(kEof, 1, 28, fp) != 28) return false;
+        return fclose(fp) == 0 ? (fp = nullptr, true) : false;
+    }
+};
+
+// typed-value encoders mirroring bgt_tpu/formats/bcf.py
+inline void enc_size_c(std::vector<uint8_t>& o, uint32_t size, int btype) {
+    if (size >= 15) {
+        o.push_back(15 << 4 | btype);
+        if (size >= 32768) {
+            o.push_back(1 << 4 | 3);
+            int32_t v = (int32_t)size;
+            o.insert(o.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+        } else if (size >= 128) {
+            o.push_back(1 << 4 | 2);
+            int16_t v = (int16_t)size;
+            o.insert(o.end(), (uint8_t*)&v, (uint8_t*)&v + 2);
+        } else {
+            o.push_back(1 << 4 | 1);
+            o.push_back((uint8_t)size);
+        }
+    } else {
+        o.push_back(size << 4 | btype);
+    }
+}
+
+inline void enc_int1_c(std::vector<uint8_t>& o, int64_t x) {
+    if (x > -128 && x <= 127) {
+        enc_size_c(o, 1, 1);
+        o.push_back((uint8_t)x);
+    } else if (x > -32768 && x <= 32767) {
+        enc_size_c(o, 1, 2);
+        int16_t v = (int16_t)x;
+        o.insert(o.end(), (uint8_t*)&v, (uint8_t*)&v + 2);
+    } else {
+        enc_size_c(o, 1, 3);
+        int32_t v = (int32_t)x;
+        o.insert(o.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+    }
+}
+
+inline void enc_vchar_c(std::vector<uint8_t>& o, const std::string& s) {
+    enc_size_c(o, (uint32_t)s.size(), 7);
+    o.insert(o.end(), s.begin(), s.end());
+}
+
+struct CAtom {
+    int32_t rid = 0;
+    int64_t pos = 0, rlen = 0;
+    int32_t anum = 0;
+    std::string ref, alt;
+    bool from_new = true, has_multi = false;
+    std::vector<uint8_t> gt;
+
+    bool key_eq(const CAtom& b) const {
+        return rid == b.rid && pos == b.pos && rlen == b.rlen && alt == b.alt;
+    }
+};
+
+inline bool atom_less(const CAtom& a, const CAtom& b) {
+    if (a.rid != b.rid) return a.rid < b.rid;
+    if (a.pos != b.pos) return a.pos < b.pos;
+    if (a.rlen != b.rlen) return a.rlen < b.rlen;
+    if (a.alt != b.alt) return a.alt < b.alt;
+    return a.from_new < b.from_new;  // old before new (bcf_atom_cmp2)
+}
+
+// one parsed input record (only what the atomizer consumes)
+struct VRec {
+    int32_t rid;
+    int64_t pos, rlen;
+    std::vector<std::string> alleles;  // [0]=ref
+    std::vector<std::string> cigars;   // per ALT when INFO/CIGAR present
+    std::vector<int8_t> gta;           // 2*n_samples allele indices, -1=missing
+};
+
+struct ImportCtx {
+    int32_t n_samples = 0;
+    bool cigar_defined = false, end_defined = false;
+    std::unordered_map<std::string, int32_t> contig_id;
+    std::unordered_map<std::string, int32_t> filter_id;
+    int err = 0;  // sticky parse-anomaly flag -> python fallback
+};
+
+// gzFile line reader (plain or gzip text)
+struct LineReader {
+    gzFile gz = nullptr;
+    std::vector<char> buf;
+    size_t pos = 0, len = 0;
+    bool eof = false;
+
+    bool getline(std::string& out) {
+        out.clear();
+        for (;;) {
+            if (pos == len) {
+                if (eof) return !out.empty();
+                buf.resize(1 << 20);
+                int n = gzread(gz, buf.data(), buf.size());
+                if (n < 0) return false;
+                if (n == 0) {
+                    eof = true;
+                    return !out.empty();
+                }
+                len = (size_t)n;
+                pos = 0;
+            }
+            char* start = buf.data() + pos;
+            char* nl = (char*)memchr(start, '\n', len - pos);
+            if (nl) {
+                out.append(start, nl - start);
+                pos = nl - buf.data() + 1;
+                return true;
+            }
+            out.append(start, len - pos);
+            pos = len;
+        }
+    }
+};
+
+bool parse_vrec(ImportCtx& C, const std::string& line, VRec& r,
+                bool& skip_filtered) {
+    r.alleles.clear();
+    r.cigars.clear();
+    r.gta.clear();
+    skip_filtered = false;
+    // split the 9 fixed columns
+    const char* s = line.c_str();
+    const char* end = s + line.size();
+    const char* col[10];
+    size_t cl[10];
+    int nc = 0;
+    const char* p = s;
+    while (nc < 9 && p <= end) {
+        const char* t = (const char*)memchr(p, '\t', end - p);
+        if (!t) t = end;
+        col[nc] = p;
+        cl[nc] = t - p;
+        ++nc;
+        p = t < end ? t + 1 : end + 1;
+    }
+    if (nc < 8) return false;
+    col[9] = p <= end ? p : end;  // sample section
+    std::string chrom(col[0], cl[0]);
+    auto it = C.contig_id.find(chrom);
+    if (it == C.contig_id.end()) return false;  // unknown contig -> fallback
+    r.rid = it->second;
+    {
+        int64_t v = 0;
+        for (size_t i = 0; i < cl[1]; ++i) {
+            if (!isdigit((unsigned char)col[1][i])) return false;
+            v = v * 10 + (col[1][i] - '0');
+        }
+        r.pos = v - 1;
+    }
+    r.alleles.emplace_back(col[3], cl[3]);
+    r.rlen = (int64_t)cl[3];
+    if (!(cl[4] == 1 && col[4][0] == '.')) {
+        const char* a = col[4];
+        const char* ae = a + cl[4];
+        while (a < ae) {
+            const char* c = (const char*)memchr(a, ',', ae - a);
+            if (!c) c = ae;
+            r.alleles.emplace_back(a, c - a);
+            a = c + 1;
+        }
+    }
+    // FILTER: filtered unless "." or exactly one defined token with id 0
+    if (!(cl[6] == 1 && col[6][0] == '.')) {
+        const char* f = col[6];
+        size_t flen = cl[6];
+        if (flen && f[flen - 1] == ';') --flen;
+        const char* fe = f + flen;
+        int n_flt = 0;
+        bool pass_only = true;
+        while (f < fe) {
+            const char* c = (const char*)memchr(f, ';', fe - f);
+            if (!c) c = fe;
+            auto fit = C.filter_id.find(std::string(f, c - f));
+            if (fit != C.filter_id.end()) {
+                ++n_flt;
+                if (fit->second != 0) pass_only = false;
+            }
+            f = c + 1;
+        }
+        skip_filtered = n_flt > 0 && !(n_flt == 1 && pass_only);
+    }
+    // INFO: END= and CIGAR=
+    if (nc > 7 && !(cl[7] == 1 && col[7][0] == '.')) {
+        const char* i = col[7];
+        size_t ilen = cl[7];
+        if (ilen && i[ilen - 1] == ';') --ilen;
+        const char* ie = i + ilen;
+        while (i < ie) {
+            const char* c = (const char*)memchr(i, ';', ie - i);
+            if (!c) c = ie;
+            const char* eq = (const char*)memchr(i, '=', c - i);
+            if (eq) {
+                size_t kl = eq - i;
+                if (C.end_defined && kl == 3 && memcmp(i, "END", 3) == 0) {
+                    int64_t v = 0;
+                    for (const char* q = eq + 1; q < c; ++q) {
+                        if (!isdigit((unsigned char)*q)) return false;
+                        v = v * 10 + (*q - '0');
+                    }
+                    r.rlen = v - r.pos;
+                } else if (C.cigar_defined && kl == 5 &&
+                           memcmp(i, "CIGAR", 5) == 0) {
+                    const char* a = eq + 1;
+                    while (a < c) {
+                        const char* cc = (const char*)memchr(a, ',', c - a);
+                        if (!cc) cc = c;
+                        r.cigars.emplace_back(a, cc - a);
+                        a = cc + 1;
+                    }
+                }
+            }
+            i = c + 1;
+        }
+    }
+    // FORMAT: locate the GT subfield
+    if (nc < 9 || C.n_samples <= 0) return false;
+    int gt_idx = -1;
+    {
+        const char* f = col[8];
+        const char* fe = f + cl[8];
+        int idx = 0;
+        while (f < fe) {
+            const char* c = (const char*)memchr(f, ':', fe - f);
+            if (!c) c = fe;
+            if (c - f == 2 && f[0] == 'G' && f[1] == 'T') {
+                gt_idx = idx;
+                break;
+            }
+            ++idx;
+            f = c + 1;
+        }
+    }
+    if (gt_idx < 0) return false;
+    r.gta.resize((size_t)C.n_samples * 2);
+    const char* q = col[9];
+    const char* qe = end;
+    int32_t n_allele = (int32_t)r.alleles.size();
+    for (int32_t si = 0; si < C.n_samples; ++si) {
+        if (q > qe) return false;
+        const char* t = (const char*)memchr(q, '\t', qe - q);
+        if (!t) t = qe;
+        // step to the GT subfield
+        const char* g = q;
+        for (int k = 0; k < gt_idx; ++k) {
+            const char* c = (const char*)memchr(g, ':', t - g);
+            if (!c) return false;
+            g = c + 1;
+        }
+        const char* ge = (const char*)memchr(g, ':', t - g);
+        if (!ge) ge = t;
+        // fast path: "a|b" / "a/b" single-digit diploid cell
+        if (ge - g == 3 && (g[1] == '|' || g[1] == '/') &&
+            (unsigned)(g[0] - '0') < 10u && (unsigned)(g[2] - '0') < 10u) {
+            int a0 = g[0] - '0', a1 = g[2] - '0';
+            if (a0 >= n_allele || a1 >= n_allele) return false;
+            r.gta[(size_t)si * 2] = (int8_t)a0;
+            r.gta[(size_t)si * 2 + 1] = (int8_t)a1;
+            q = t + 1;
+            continue;
+        }
+        // parse exactly two alleles (diploid import contract)
+        int na = 0;
+        int8_t al[2] = {-1, -1};
+        const char* u = g;
+        while (u < ge && na < 3) {
+            if (*u == '.') {
+                al[na > 1 ? 1 : na] = -1;
+                ++na;
+                ++u;
+            } else if (isdigit((unsigned char)*u)) {
+                int v = 0;
+                while (u < ge && isdigit((unsigned char)*u)) {
+                    v = v * 10 + (*u - '0');
+                    ++u;
+                }
+                if (v >= n_allele) return false;
+                if (na < 2) al[na] = (int8_t)v;
+                ++na;
+            } else {
+                return false;
+            }
+            if (u < ge) {
+                if (*u != '|' && *u != '/') return false;
+                ++u;
+            }
+        }
+        if (na != 2) return false;
+        r.gta[(size_t)si * 2] = al[0];
+        r.gta[(size_t)si * 2 + 1] = al[1];
+        q = t + 1;
+    }
+    return true;
+}
+
+// bcf_atomize port (bgt_tpu/core/atomize.py:113-185; reference
+// atomic.c:98-179)
+bool atomize_c(ImportCtx& C, const VRec& r, std::vector<CAtom>& atoms) {
+    for (auto& a : atoms) a.from_new = false;
+    const std::string& ref = r.alleles[0];
+    int64_t l_ref = (int64_t)ref.size();
+    size_t ci = 0;
+    for (int32_t i = 1; i < (int32_t)r.alleles.size(); ++i) {
+        const std::string& alt = r.alleles[i];
+        int64_t l_alt = (int64_t)alt.size();
+        if (r.rlen != l_ref ||
+            (!alt.empty() && alt.front() == '<' && alt.back() == '>')) {
+            CAtom a;
+            a.rid = r.rid;
+            a.pos = r.pos;
+            a.rlen = r.rlen;
+            a.anum = i;
+            a.ref = ref;
+            a.alt = alt;
+            atoms.push_back(std::move(a));
+            continue;
+        }
+        std::string cig;
+        if (!r.cigars.empty()) {
+            if (ci >= r.cigars.size() || r.cigars[ci].empty()) return false;
+            cig = r.cigars[ci++];
+        } else if (l_alt == r.rlen) {
+            cig = std::to_string(r.rlen) + "M";
+        } else {
+            int64_t l = l_alt - r.rlen;
+            int64_t rest;
+            if (l > 0) {
+                cig = "1M" + std::to_string(l) + "I";
+                rest = r.rlen - 1;
+            } else {
+                cig = "1M" + std::to_string(-l) + "D";
+                rest = l_alt - 1;
+            }
+            if (rest) cig += std::to_string(rest) + "M";
+        }
+        int64_t x = 0, y = 0;
+        size_t p = 0;
+        while (p < cig.size()) {
+            size_t q = p;
+            while (q < cig.size() && isdigit((unsigned char)cig[q])) ++q;
+            if (q == p || q >= cig.size()) return false;
+            int64_t l = atoll(cig.substr(p, q - p).c_str());
+            char op = cig[q];
+            if (op == 'M' || op == '=' || op == 'X') {
+                if (x + l > (int64_t)ref.size() || y + l > (int64_t)alt.size())
+                    return false;
+                for (int64_t j = 0; j < l; ++j) {
+                    if (ref[x + j] != alt[y + j]) {
+                        CAtom a;
+                        a.rid = r.rid;
+                        a.pos = r.pos + x + j;
+                        a.rlen = 1;
+                        a.anum = i;
+                        a.ref = ref.substr(x + j, 1);
+                        a.alt = alt.substr(y + j, 1);
+                        atoms.push_back(std::move(a));
+                    }
+                }
+                x += l;
+                y += l;
+            } else if (op == 'I') {
+                if (x == 0 || y == 0) {
+                    fprintf(stderr,
+                            "[W::bcf_atomize] invalid insertion (%lld,%lld) "
+                            "at ?:%lld\n",
+                            (long long)x, (long long)y, (long long)(r.pos + 1));
+                } else {
+                    if (y - 1 + 1 + l > (int64_t)alt.size()) return false;
+                    CAtom a;
+                    a.rid = r.rid;
+                    a.pos = r.pos + x - 1;
+                    a.rlen = 1;
+                    a.anum = i;
+                    a.ref = ref.substr(x - 1, 1);
+                    a.alt = alt.substr(y - 1, 1 + l);
+                    atoms.push_back(std::move(a));
+                }
+                y += l;
+            } else if (op == 'D') {
+                if (!(x > 0 && y > 0)) return false;
+                if (x - 1 + l + 1 > (int64_t)ref.size()) return false;
+                CAtom a;
+                a.rid = r.rid;
+                a.pos = r.pos + x - 1;
+                a.rlen = l + 1;
+                a.anum = i;
+                a.ref = ref.substr(x - 1, l + 1);
+                a.alt = alt.substr(y - 1, 1);
+                atoms.push_back(std::move(a));
+                x += l;
+            } else {
+                return false;
+            }
+            p = q + 1;
+        }
+    }
+    // _gen_at: sort, dedup, fill genotypes for new atoms
+    std::stable_sort(atoms.begin(), atoms.end(), atom_less);
+    size_t n = atoms.size();
+    std::vector<size_t> eq(n, 0);
+    bool has_dup = false;
+    for (size_t i = 1; i < n; ++i) {
+        eq[i] = atoms[i - 1].key_eq(atoms[i]) ? eq[i - 1] : i;
+        if (eq[i] == eq[i - 1]) has_dup = true;
+    }
+    int32_t n_allele = (int32_t)r.alleles.size();
+    std::vector<uint8_t> tr((size_t)n_allele);
+    size_t n_gt = (size_t)C.n_samples * 2;
+    for (size_t k = 0; k < n; ++k) {
+        CAtom& ak = atoms[k];
+        if (eq[k] != k || !ak.from_new) continue;
+        ak.has_multi = false;
+        std::fill(tr.begin(), tr.end(), 0);
+        for (size_t i = 0; i < n; ++i) {
+            const CAtom& ai = atoms[i];
+            if (!ai.from_new) continue;
+            if (eq[i] == eq[k])
+                tr[ai.anum] = 1;
+            else if (ai.pos < ak.pos + ak.rlen && ak.pos < ai.pos + ai.rlen)
+                tr[ai.anum] = 3;
+        }
+        ak.gt.resize(n_gt);
+        bool multi = false;
+        for (size_t m = 0; m < n_gt; ++m) {
+            int8_t c = r.gta[m];
+            uint8_t code = c < 0 ? 2 : tr[(size_t)c];
+            ak.gt[m] = code;
+            multi |= code == 3;
+        }
+        ak.has_multi = multi;
+    }
+    if (has_dup) {
+        std::vector<CAtom> kept;
+        kept.reserve(n);
+        for (size_t i = 0; i < n; ++i)
+            if (eq[i] == i) kept.push_back(std::move(atoms[i]));
+        atoms.swap(kept);
+    }
+    return true;
+}
+
+struct ImportResult {
+    std::vector<int32_t> rid;
+    std::vector<int64_t> pos, end;
+    std::vector<uint64_t> voff;  // BGZF virtual offset AFTER each record
+    uint64_t voff0 = 0;          // offset after the header
+    int64_t n = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns an ImportResult handle (for CSI building) or nullptr on any
+// anomaly (caller falls back to the Python importer and removes partial
+// outputs).  n_rows is reported via bgt_import_n.
+void* bgt_import_text(const char* vcf_path, const char* pbf_path,
+                      const char* bcf_path, const uint8_t* bcf_hdr_blob,
+                      int64_t hdr_len, const char* contigs_cat,
+                      int32_t n_contigs, const char* filters_cat,
+                      const int32_t* filter_ids, int32_t n_filters,
+                      int32_t n_samples, int32_t keep_flt, int32_t clevel,
+                      int32_t row_kid, int32_t end_defined,
+                      int32_t cigar_defined, int32_t shift) {
+    ImportCtx C;
+    C.n_samples = n_samples;
+    C.end_defined = end_defined != 0;
+    C.cigar_defined = cigar_defined != 0;
+    {
+        const char* p = contigs_cat;
+        for (int32_t i = 0; i < n_contigs; ++i) {
+            C.contig_id.emplace(p, i);
+            p += strlen(p) + 1;
+        }
+        p = filters_cat;
+        for (int32_t i = 0; i < n_filters; ++i) {
+            C.filter_id.emplace(p, filter_ids[i]);
+            p += strlen(p) + 1;
+        }
+    }
+    LineReader lr;
+    lr.gz = gzopen(vcf_path, "rb");
+    if (!lr.gz) return nullptr;
+    gzbuffer(lr.gz, 1 << 20);
+
+    BgzfOut bcf;
+    bcf.fp = fopen(bcf_path, "wb");
+    bcf.level = clevel;
+    void* pbfw = nullptr;
+    auto fail = [&]() -> void* {
+        gzclose(lr.gz);
+        if (bcf.fp) fclose(bcf.fp);
+        if (pbfw) bgt_pbf_writer_close(pbfw);
+        remove(bcf_path);
+        remove(pbf_path);
+        return nullptr;
+    };
+    if (!bcf.fp) return fail();
+    if (!bcf.write(bcf_hdr_blob, (size_t)hdr_len)) return fail();
+    pbfw = bgt_pbf_writer_open(pbf_path, n_samples * 2, 2, shift);
+    if (!pbfw) return fail();
+
+    auto* R = new ImportResult();
+    R->voff0 = bcf.vtell();
+    std::vector<uint8_t> shared;
+
+    auto emit = [&](const CAtom& a) -> bool {
+        // site record: atom_to_bcf(write_m=True, id_gt=-1) + INFO/_row
+        shared.clear();
+        int32_t n_allele = a.has_multi ? 3 : 2;
+        enc_size_c(shared, 0, 7);  // empty ID
+        enc_vchar_c(shared, a.ref);
+        enc_vchar_c(shared, a.alt);
+        if (n_allele > 2) enc_vchar_c(shared, "<M>");
+        enc_size_c(shared, 0, 0);  // empty FILTER (enc_vint([]))
+        enc_int1_c(shared, row_kid);
+        enc_int1_c(shared, R->n);
+        uint32_t l_shared = (uint32_t)shared.size() + 24, l_indiv = 0;
+        uint32_t w[8];
+        w[0] = l_shared;
+        w[1] = l_indiv;
+        w[2] = (uint32_t)a.rid;
+        w[3] = (uint32_t)a.pos;
+        w[4] = (uint32_t)a.rlen;
+        w[5] = 0;                              // qual bits
+        w[6] = (uint32_t)n_allele << 16 | 1;   // n_allele<<16 | n_info
+        w[7] = 0;                              // n_fmt<<24 | n_sample
+        if (!bcf.write(w, 32)) return false;
+        if (!bcf.write(shared.data(), shared.size())) return false;
+        if (bgt_pbf_writer_write(pbfw, a.gt.data(), 1) < 0) return false;
+        R->rid.push_back(a.rid);
+        R->pos.push_back(a.pos);
+        R->end.push_back(a.pos + a.rlen);
+        R->voff.push_back(bcf.vtell());
+        ++R->n;
+        return true;
+    };
+
+    // Producer thread runs the parse + atomize state machine
+    // (bgt_tpu/core/atomize.py:220-284) and hands ready-to-emit atom
+    // batches to this thread, which encodes the PBWT planes and writes
+    // both outputs — the two halves overlap on two cores (the reference
+    // is strictly sequential here, import.c:92-103).
+    constexpr size_t kPipeMax = 8;
+    struct Pipe {
+        std::mutex mu;
+        std::condition_variable cv_put, cv_get;
+        std::deque<std::vector<CAtom>> q;
+        bool done = false, error = false;
+    } pipe;
+
+    std::thread producer([&]() {
+        std::vector<CAtom> atoms;
+        size_t start = 0;
+        bool no_vcf = false;
+        VRec nxt;
+        std::string line;
+        std::vector<CAtom> batch;
+        constexpr size_t kBatch = 64;
+
+        auto read_rec = [&](VRec& r) -> int {  // 1=got, 0=eof, -1=error
+            bool skip;
+            while (lr.getline(line)) {
+                if (!line.empty() && line.back() == '\r') line.pop_back();
+                if (line.empty()) continue;
+                if (line[0] == '#') continue;
+                if (!parse_vrec(C, line, r, skip)) return -1;
+                if (!keep_flt && skip) continue;
+                return 1;
+            }
+            return 0;
+        };
+        auto push_batch = [&]() -> bool {
+            std::unique_lock<std::mutex> lk(pipe.mu);
+            pipe.cv_put.wait(lk, [&] {
+                return pipe.q.size() < kPipeMax || pipe.error;
+            });
+            if (pipe.error) return false;
+            pipe.q.push_back(std::move(batch));
+            batch.clear();
+            pipe.cv_get.notify_one();
+            return true;
+        };
+        auto finish = [&](bool err) {
+            std::lock_guard<std::mutex> lk(pipe.mu);
+            if (err) pipe.error = true;
+            pipe.done = true;
+            pipe.cv_get.notify_one();
+        };
+
+        VRec cur;
+        int g = read_rec(cur);
+        if (g < 0) return finish(true);
+        if (g == 1) {
+            if (!atomize_c(C, cur, atoms)) return finish(true);
+            g = read_rec(nxt);
+            if (g < 0) return finish(true);
+            if (g == 0) no_vcf = true;
+        } else {
+            no_vcf = true;
+        }
+        for (;;) {
+            if (start == atoms.size()) {
+                if (no_vcf) break;
+                atoms.clear();
+                start = 0;
+                if (!atomize_c(C, nxt, atoms)) return finish(true);
+                g = read_rec(nxt);
+                if (g < 0) return finish(true);
+                if (g == 0) no_vcf = true;
+                if (atoms.empty()) continue;
+            }
+            for (;;) {
+                CAtom& a0 = atoms[start];
+                if (no_vcf || a0.rid < nxt.rid ||
+                    (a0.rid == nxt.rid && a0.pos < nxt.pos)) {
+                    batch.push_back(std::move(a0));
+                    ++start;
+                    if (batch.size() >= kBatch && !push_batch()) return;
+                    break;
+                }
+                if (start) {
+                    atoms.erase(atoms.begin(), atoms.begin() + start);
+                    start = 0;
+                }
+                if (!atomize_c(C, nxt, atoms)) return finish(true);
+                g = read_rec(nxt);
+                if (g < 0) return finish(true);
+                if (g == 0) no_vcf = true;
+            }
+        }
+        if (!batch.empty() && !push_batch()) return;
+        finish(false);
+    });
+
+    bool ok = true;
+    for (;;) {
+        std::vector<CAtom> batch;
+        {
+            std::unique_lock<std::mutex> lk(pipe.mu);
+            pipe.cv_get.wait(lk, [&] { return !pipe.q.empty() || pipe.done; });
+            if (pipe.q.empty()) {
+                ok = !pipe.error;
+                break;
+            }
+            batch = std::move(pipe.q.front());
+            pipe.q.pop_front();
+            pipe.cv_put.notify_one();
+        }
+        for (const CAtom& a : batch) {
+            if (!emit(a)) {
+                std::lock_guard<std::mutex> lk(pipe.mu);
+                pipe.error = true;
+                pipe.cv_put.notify_one();
+                ok = false;
+                break;
+            }
+        }
+        if (!ok) break;
+    }
+    producer.join();
+    if (!ok) {
+        delete R;
+        return fail();
+    }
+    gzclose(lr.gz);
+    if (!bcf.close()) {
+        if (pbfw) bgt_pbf_writer_close(pbfw);
+        remove(bcf_path);
+        remove(pbf_path);
+        delete R;
+        return nullptr;
+    }
+    if (bgt_pbf_writer_close(pbfw) != 0) {
+        remove(pbf_path);
+        delete R;
+        return nullptr;
+    }
+    return R;
+}
+
+int64_t bgt_import_n(void* h) { return ((ImportResult*)h)->n; }
+
+uint64_t bgt_import_voff0(void* h) { return ((ImportResult*)h)->voff0; }
+
+void bgt_import_meta(void* h, void** rid, void** pos, void** end,
+                     void** voff) {
+    auto* r = (ImportResult*)h;
+    *rid = r->rid.data();
+    *pos = r->pos.data();
+    *end = r->end.data();
+    *voff = r->voff.data();
+}
+
+void bgt_import_free(void* h) { delete (ImportResult*)h; }
 
 }  // extern "C"

@@ -158,3 +158,65 @@ def test_atomize_contig_list(tmp_path, ref_bgt):
     importer.atomize_cli(str(tmp_path / "in.vcf"), is_vcf=True, out_fp=buf,
                          fn_ref=str(tmp_path / "ctg.txt"))
     assert buf.getvalue() == ref.stdout.decode()
+
+
+def test_native_import_used_and_matches_python(tmp_path, monkeypatch):
+    """The one-pass C++ importer must actually serve text imports (no
+    silent fallback) and produce byte-identical outputs to the Python
+    pipeline across adversarial inputs."""
+    from bgt_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    from bgt_tpu.query import importer as imp
+    for seed, kw in [
+        (21, dict(n_samples=7, n_sites=120, p_multi=0.5, p_indel=0.5)),
+        (22, dict(n_samples=3, n_sites=200, p_missing=0.2, phased=False)),
+        (23, dict(n_samples=12, n_sites=150, with_filter=True)),
+    ]:
+        vcf = testing.random_vcf(seed=seed, **kw)
+        fn = tmp_path / f"in{seed}.vcf"
+        fn.write_text(vcf)
+        used = []
+        orig = imp._native_import
+        monkeypatch.setattr(imp, "_native_import",
+                            lambda *a, **k: used.append(1) or orig(*a, **k))
+        n1 = imp.import_vcf(str(tmp_path / f"nat{seed}"), [str(fn)],
+                            is_vcf=True)
+        monkeypatch.undo()
+        assert used, "native importer was not attempted"
+        monkeypatch.setenv("BGT_TPU_NATIVE_IMPORT", "0")
+        n2 = imp.import_vcf(str(tmp_path / f"py{seed}"), [str(fn)],
+                            is_vcf=True)
+        monkeypatch.undo()
+        assert n1 == n2
+        for ext in (".bcf", ".pbf", ".spl"):
+            assert (tmp_path / f"nat{seed}{ext}").read_bytes() == \
+                (tmp_path / f"py{seed}{ext}").read_bytes(), (seed, ext)
+        from bgt_tpu.formats.csi import HtsIndex
+        a = HtsIndex.load(str(tmp_path / f"nat{seed}.bcf.csi"))
+        b = HtsIndex.load(str(tmp_path / f"py{seed}.bcf.csi"))
+        assert a.n_rec == b.n_rec and a.ridx == b.ridx
+        for i in range(a.n):
+            assert sorted(a.bidx[i]) == sorted(b.bidx[i])
+            for bn in a.bidx[i]:
+                assert sorted(a.bidx[i][bn]) == sorted(b.bidx[i][bn])
+            assert a.loff[i] == b.loff[i]
+
+
+def test_native_import_gzip_input(tmp_path):
+    from bgt_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    import gzip as gz
+    from bgt_tpu.query import importer as imp
+    vcf = testing.random_vcf(n_samples=5, n_sites=80, seed=31)
+    with gz.open(tmp_path / "in.vcf.gz", "wt") as fp:
+        fp.write(vcf)
+    (tmp_path / "in.vcf").write_text(vcf)
+    n1 = imp.import_vcf(str(tmp_path / "a"), [str(tmp_path / "in.vcf.gz")],
+                        is_vcf=True)
+    n2 = imp.import_vcf(str(tmp_path / "b"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    assert n1 == n2
+    assert (tmp_path / "a.pbf").read_bytes() == (tmp_path / "b.pbf").read_bytes()
+    assert (tmp_path / "a.bcf").read_bytes() == (tmp_path / "b.bcf").read_bytes()
