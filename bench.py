@@ -196,6 +196,13 @@ def time_ours(d, args, runs=3):
     return best, n_lines
 
 
+def _timed_subprocess(cmd) -> float:
+    t0 = time.time()
+    subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    return time.time() - t0
+
+
 def time_ours_cold(d, args) -> float:
     """TRUE cold: fresh interpreter, nothing warmed (includes tile load)."""
     script = (
@@ -246,8 +253,16 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
     ex["gc_speedup"] = round(t_ref / t_warm, 1)
     t_cold = time_ours_cold(d, ["-G", "-C"])
     ex["gc_cold_s"] = round(t_cold, 3)
+    # the structural cold floor: a fresh interpreter importing numpy (the
+    # query engine's array substrate); cold time below this is unreachable
+    # for a Python CLI — recorded so the cold ratio has its context
+    t_floor = min(
+        _timed_subprocess([sys.executable, "-c", "import numpy"])
+        for _ in range(3))
+    ex["cold_floor_s"] = round(t_floor, 3)
     log(f"[{name}] view -GC TRUE cold (fresh process): {t_cold:.2f}s "
-        f"({t_ref / t_cold:.1f}x ref)")
+        f"({t_ref / t_cold:.1f}x ref; interpreter+numpy floor "
+        f"{t_floor:.2f}s = {t_ref / t_floor:.0f}x ceiling)")
 
     # --- sample-subset query: deferred to one shared device subprocess
     # (the tunneled TPU pays a multi-minute penalty on a process's first
