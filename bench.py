@@ -264,6 +264,29 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
         f"({t_ref / t_cold:.1f}x ref; interpreter+numpy floor "
         f"{t_floor:.2f}s = {t_ref / t_floor:.0f}x ceiling)")
 
+    # --- -S carrier query over a 40-allele set (the alcnt accumulator,
+    # batched in the fastpath since r3; reference bgt.c:859-869) ---
+    alleles = d / "alleles.txt"
+    if not alleles.exists():
+        keys = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=d,
+                              capture_output=True,
+                              check=True).stdout.decode().splitlines()
+        alleles.write_text("\n".join(keys[10:90:2]) + "\n")
+    s_args = ["-a", "alleles.txt", "-S"]
+    want = ref_md5(ref_bgt, d, s_args, "md5-alcnt.txt")
+    t0 = time.time()
+    got = ours_md5(d, s_args)
+    t_ours_s = time.time() - t0
+    got = ours_md5(d, s_args)  # warm repeat (site table cached)
+    ex["parity_alcnt"] = got == want
+    parity = parity and got == want
+    t_ref_s = time_ref(ref_bgt, d, s_args, 1)
+    ex["alcnt_ref_s"] = round(t_ref_s, 3)
+    ex["alcnt_ours_s"] = round(t_ours_s, 3)
+    log(f"[{name}] -S carrier query (40 alleles): ours {t_ours_s:.2f}s vs "
+        f"ref {t_ref_s:.2f}s ({t_ref_s / max(t_ours_s, 1e-9):.1f}x), "
+        f"parity {ex['parity_alcnt']}")
+
     # --- sample-subset query: deferred to one shared device subprocess
     # (the tunneled TPU pays a multi-minute penalty on a process's first
     # device->host transfer; all configs share one process, one penalty) ---
