@@ -1004,11 +1004,17 @@ class FastView:
                                                       srv_max_read)
         if bm.h_al is not None and bm.flag & (engine.F_CNT_AL
                                               | engine.F_CNT_HAP):
-            # the reference's loop reads one record past the -n / quota
-            # cutoff before breaking, so that site still accumulates -S/-H
-            # counts (view.c:151-156, bgt-server.go:330-336)
-            sel_acc = sel if sel.size == sel_all.size \
-                else sel_all[:sel.size + 1]
+            if max_gt is not None or srv_max_read is not None:
+                # the server loop checks quotas BEFORE each read, so the
+                # accumulated set equals the emitted set (server.py)
+                sel_acc = sel
+            elif sel.size != sel_all.size:
+                # the CLI loop reads one record past the -n cutoff before
+                # breaking, so that site still accumulates -S/-H counts
+                # (view.c:151-156)
+                sel_acc = sel_all[:sel.size + 1]
+            else:
+                sel_acc = sel
             with stage("al-hap-counts"):
                 self._accumulate_al_hap(sel_acc, mv)
 

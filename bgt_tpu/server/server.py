@@ -168,61 +168,38 @@ def run_query(cfg: ServerConfig, form: dict):
         bm.close()
         raise
 
-    # batched path: VCF and table output (allele sets are a site prefilter
-    # there); only -S / -H need the per-site general path
+    # batched engine for the whole query surface, including the -S/-H
+    # accumulators (batched over the tile store since r3)
     from ..query import fastpath
-    if not flag & (F_CNT_AL | F_CNT_HAP):
-        class _Opt:
-            pass
 
-        opt = _Opt()
-        opt.n_rec = None
-        opt.seekn = seekn
-        opt.max_gt = cfg.max_gt
-        opt.srv_max_read = max_read
+    class _Opt:
+        pass
 
-        def gen_fast():
-            try:
-                if vcf_out:
-                    yield (bm.h_out.text + "\n").encode("latin-1")
-                w = _ChunkWriter()
-                fastpath.FastView(bm, opt).run(w)
-                yield from w.chunks
-                if bm.truncated:
-                    yield b"*\n"
-            finally:
-                bm.close()
+    opt = _Opt()
+    opt.n_rec = None
+    opt.seekn = seekn
+    opt.max_gt = cfg.max_gt
+    opt.srv_max_read = max_read
+    opt.not_vcf = not vcf_out
 
-        return 200, gen_fast()
-
-    def gen_general():
+    def gen_fast():
         try:
             if vcf_out:
                 yield (bm.h_out.text + "\n").encode("latin-1")
-            b = bcflib.Bcf1()
-            n_read = 0
-            while True:
-                if n_read > max_read or bm.n_gt_read > cfg.max_gt:
-                    break
-                ret = bm.read(b)
-                if ret < 0:
-                    break
-                if vcf_out:
-                    yield (bcflib.vcf_format1(bm.h_out, b) + "\n").encode("latin-1")
-                elif bm.fields:
-                    yield (bm.tbl_line + "\n").encode("latin-1")
-                n_read += 1
+            w = _ChunkWriter()
+            fastpath.FastView(bm, opt).run(w)
+            yield from w.chunks
             if not vcf_out and len(bm.aal) > 0:
                 if flag & F_CNT_HAP:
                     yield bm.hapcnt_print().encode("latin-1")
                 if flag & F_CNT_AL:
                     yield bm.alcnt_print().encode("latin-1")
-            if n_read > max_read or bm.n_gt_read > cfg.max_gt:
+            if bm.truncated:
                 yield b"*\n"
         finally:
             bm.close()
 
-    return 200, gen_general()
+    return 200, gen_fast()
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -257,3 +257,43 @@ def test_concurrent_queries(served_db):
         t.join()
     assert len({body for _s, body in results}) == 1
     assert all(s == 200 for s, _b in results)
+
+
+def test_server_alcnt_hapcnt(served_db, ref_bgt):
+    """S/H parameters through the batched server path: output equals the
+    CLI -S/-H reports, and the n-quota uses the server's check-before-read
+    convention (accumulated set == emitted set, no CLI +1 quirk)."""
+    tmp, port, cfg = served_db
+    keys = subprocess.run([ref_bgt, "getalt", "db"], cwd=tmp,
+                          capture_output=True).stdout.decode().splitlines()
+    pick = ",".join(keys[1:14:2])
+    for param, mode in (("S", ["-S"]), ("H", ["-H"])):
+        status, body = fetch(port, f"?a=,{pick}&{param}=1")
+        assert status == 200
+        want = view_cli(tmp, ["-a," + pick] + mode)
+        assert body == want, param
+    # n-quota: replicate the general server loop's accumulation by hand
+    from bgt_tpu.query.engine import BgtmReader, F_CNT_AL, F_NO_GT, F_SET_AC
+    from bgt_tpu.formats import bcf as bcflib
+    n_lim = 2
+    bm = BgtmReader(cfg.files)
+    bm.set_flag(F_NO_GT | F_CNT_AL)
+    assert bm.set_alleles("," + pick, None, None) > 0
+    bm.prepare()
+    b = bcflib.Bcf1()
+    n_read = 0
+    while True:
+        if n_read > n_lim or bm.n_gt_read > cfg.max_gt:
+            break
+        if bm.read(b) < 0:
+            break
+        n_read += 1
+    want = ""
+    if len(bm.aal) > 0:
+        want = bm.alcnt_print()
+    if n_read > n_lim or bm.n_gt_read > cfg.max_gt:
+        want += "*\n"
+    bm.close()
+    status, body = fetch(port, f"?a=,{pick}&S=1&n={n_lim}")
+    assert status == 200
+    assert body == want
