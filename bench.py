@@ -272,8 +272,8 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
                               capture_output=True,
                               check=True).stdout.decode().splitlines()
         alleles.write_text("\n".join(keys[10:90:2]) + "\n")
-    s_args = ["-a", "alleles.txt", "-S"]
-    want = ref_md5(ref_bgt, d, s_args, "md5-alcnt.txt")
+    s_args = ["-a", "alleles.txt", "-S", "-H"]
+    want = ref_md5(ref_bgt, d, s_args, "md5-alhap.txt")
     t0 = time.time()
     got = ours_md5(d, s_args)
     t_ours_s = time.time() - t0
@@ -283,7 +283,7 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
     t_ref_s = time_ref(ref_bgt, d, s_args, 1)
     ex["alcnt_ref_s"] = round(t_ref_s, 3)
     ex["alcnt_ours_s"] = round(t_ours_s, 3)
-    log(f"[{name}] -S carrier query (40 alleles): ours {t_ours_s:.2f}s vs "
+    log(f"[{name}] -S/-H carrier query (40 alleles): ours {t_ours_s:.2f}s vs "
         f"ref {t_ref_s:.2f}s ({t_ref_s / max(t_ours_s, 1e-9):.1f}x), "
         f"parity {ex['parity_alcnt']}")
 

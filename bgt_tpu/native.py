@@ -119,6 +119,15 @@ def get_lib():
     lib.bgt_import_meta.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
     lib.bgt_import_free.restype = None
     lib.bgt_import_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_merge_sites.restype = ctypes.c_void_p
+    lib.bgt_merge_sites.argtypes = [ctypes.c_int32] + [ctypes.c_void_p] * 12
+    lib.bgt_merge_n.restype = ctypes.c_int64
+    lib.bgt_merge_n.argtypes = [ctypes.c_void_p]
+    lib.bgt_merge_data.restype = None
+    lib.bgt_merge_data.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7 \
+        + [ctypes.c_void_p] * 4
+    lib.bgt_merge_free.restype = None
+    lib.bgt_merge_free.argtypes = [ctypes.c_void_p]
     lib.bgt_emit_bcf_records.restype = ctypes.c_int64
     lib.bgt_emit_bcf_records.argtypes = (
         [ctypes.c_int64] + [ctypes.c_void_p] * 3            # rid, pos, rlen
@@ -596,6 +605,91 @@ def import_text(vcf_path: str, pbf_path: str, bcf_path: str,
                 arr(p_end, np.int64), arr(p_voff, np.uint64), int(voff0))
     finally:
         lib.bgt_import_free(h)
+
+
+def merge_sites(dbs, rows_per_db):
+    """Streaming k-way union merge of key-sorted per-DB site selections.
+
+    ``dbs``: per-DB site-table-like objects exposing rid/pos/rlen/n_allele/
+    alt_off/alt_len/alt_cat/ref_off/ref_len/ref_cat; ``rows_per_db``:
+    ascending selected row ids.  Returns (n, rid, pos, rlen, n_allele,
+    ref_len, alt_len, pres, ref_cat, alt_cat) or None without the library.
+    """
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_db = len(dbs)
+    keep = []  # keep contiguous temporaries alive across the call
+
+    def contig(a, dtype):
+        c = np.ascontiguousarray(a, dtype=dtype)
+        keep.append(c)
+        return c
+
+    rows_cat = contig(np.concatenate(
+        [np.asarray(r, np.int64) for r in rows_per_db])
+        if rows_per_db else np.zeros(0, np.int64), np.int64)
+    nrows = contig([len(r) for r in rows_per_db], np.int64)
+
+    def ptrs(field, dtype):
+        arr = (ctypes.c_void_p * n_db)()
+        for d, st in enumerate(dbs):
+            arr[d] = contig(getattr(st, field), dtype).ctypes.data
+        keep.append(arr)
+        return arr
+
+    def cat_ptrs(field):
+        arr = (ctypes.c_void_p * n_db)()
+        for d, st in enumerate(dbs):
+            b = getattr(st, field)
+            keep.append(b)
+            arr[d] = ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
+        keep.append(arr)
+        return arr
+
+    h = lib.bgt_merge_sites(
+        n_db, nrows.ctypes.data, rows_cat.ctypes.data,
+        ptrs("rid", np.int32), ptrs("pos", np.int64), ptrs("rlen", np.int64),
+        ptrs("n_allele", np.int32), ptrs("alt_off", np.int64),
+        ptrs("alt_len", np.int64), cat_ptrs("alt_cat"),
+        ptrs("ref_off", np.int64), ptrs("ref_len", np.int64),
+        cat_ptrs("ref_cat"))
+    if not h:
+        return None
+    try:
+        n = lib.bgt_merge_n(h)
+        p = [ctypes.c_void_p() for _ in range(8)]
+        rc_len = ctypes.c_int64()
+        ac_len = ctypes.c_int64()
+        lib.bgt_merge_data(h, ctypes.byref(p[0]), ctypes.byref(p[1]),
+                           ctypes.byref(p[2]), ctypes.byref(p[3]),
+                           ctypes.byref(p[4]), ctypes.byref(p[5]),
+                           ctypes.byref(p[6]), ctypes.byref(p[7]),
+                           ctypes.byref(rc_len),
+                           ctypes.byref(pp := ctypes.c_void_p()),
+                           ctypes.byref(ac_len))
+
+        def arr(ptr, dtype, count):
+            if count == 0:
+                return np.zeros(0, dtype=dtype)
+            ct = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+                shape=(count * np.dtype(dtype).itemsize,))
+            return ct.view(dtype).copy()
+
+        rid = arr(p[0], np.int32, n)
+        pos = arr(p[1], np.int64, n)
+        rlen = arr(p[2], np.int64, n)
+        nal = arr(p[3], np.int32, n)
+        ref_len = arr(p[4], np.int64, n)
+        alt_len = arr(p[5], np.int64, n)
+        pres = arr(p[6], np.int64, n * n_db).reshape(n, n_db)
+        ref_cat = ctypes.string_at(p[7], rc_len.value) if rc_len.value else b""
+        alt_cat = ctypes.string_at(pp, ac_len.value) if ac_len.value else b""
+        return n, rid, pos, rlen, nal, ref_len, alt_len, pres, ref_cat, alt_cat
+    finally:
+        lib.bgt_merge_free(h)
 
 
 def site_scan(bcf_path: str):

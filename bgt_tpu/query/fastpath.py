@@ -11,10 +11,11 @@ compiled vector expressions over the AC/AN arrays, and VCF text assembles
 from LUT gathers.  Output bytes are identical to the general path (and the
 reference CLI); tests cross-check both.
 
-Applicability: everything except the -S/-H accumulators (those run on the
-general path, which also remains the byte-exact arbiter); allele sets (-a)
-apply as a canonical-key site prefilter, and binary BCF output (-b/-u)
-serializes through the native batched record emitter.
+Applicability: the whole view/server surface, including the -S/-H
+accumulators (batched reductions over the tile store); the general path
+remains the byte-exact arbiter in tests.  Allele sets (-a) apply as a
+canonical-key site prefilter (probe-per-key for small sets), and binary
+BCF output (-b/-u) serializes through the native batched record emitter.
 """
 
 from __future__ import annotations
@@ -482,7 +483,20 @@ class _DbCtx:
 
     def _al_filter(self, rows: np.ndarray) -> np.ndarray:
         """Allele-set site prefilter (al_present, reference bgt.c:252-270):
-        keep sites whose alt (or ref) canonical key is in the -a set."""
+        keep sites whose alt (or ref) canonical key is in the -a set.
+
+        Small allele sets invert the scan: each key names a narrow genomic
+        window (site pos ∈ [key_pos - max_ref_len, key_pos]), so candidate
+        rows come from a searchsorted probe per key instead of walking the
+        whole selection — the batched analogue of the reference's per-
+        allele region seek (bgt.c:513-543)."""
+        if rows.size > 64 * max(len(self.g.h_al), 1):
+            inv = self._al_filter_inverted(rows)
+            if inv is not None:
+                return inv
+        return self._al_filter_walk(rows)
+
+    def _al_filter_walk(self, rows: np.ndarray) -> np.ndarray:
         st = self.st
         h_al = self.g.h_al
         names = {}
@@ -509,6 +523,41 @@ class _DbCtx:
                     or head + ref[shift:].decode("latin-1") in h_al):
                 keep.append(r)
         return np.array(keep, dtype=np.int64)
+
+    def _al_filter_inverted(self, rows: np.ndarray) -> np.ndarray | None:
+        """Probe candidate rows per allele key; None when a key does not
+        parse as chrom:pos (caller falls back to the full walk)."""
+        st = self.st
+        g = self.g
+        ctg_ids = {name: i for i, (name, _ii)
+                   in enumerate(g.h_out.ids[bcflib.BCF_DT_CTG])}
+        window = int(st.ref_len.max()) if st.n else 0
+        cand: set[int] = set()
+        comp = st.rid.astype(np.int64) * (1 << 40) + st.pos
+        for key in g.h_al:
+            c = key.split(":", 2)
+            if len(c) < 3:
+                return None
+            rid = ctg_ids.get(c[0])
+            if rid is None:
+                continue
+            try:
+                kpos = int(c[1])
+            except ValueError:
+                return None
+            # site pos (0-based) = key pos (1-based) - 1 - shift,
+            # shift ∈ [0, ref_len)
+            base = rid << 40
+            lo = int(np.searchsorted(comp, base + (kpos - 1 - window)))
+            hi = int(np.searchsorted(comp, base + kpos, side="right"))
+            cand.update(range(lo, hi))
+        if not cand:
+            return np.zeros(0, dtype=np.int64)
+        cand_rows = np.array(sorted(cand), dtype=np.int64)
+        # exact canonical-key check on the candidates only
+        matched = self._al_filter_walk(cand_rows)
+        # intersect with the region/BED-selected rows, preserving order
+        return matched[np.isin(matched, rows, assume_unique=True)]
 
     def masks(self, n_groups: int) -> np.ndarray:
         g = self.g
@@ -686,6 +735,23 @@ class FastView:
             mv.alt_len = st.alt_len[rows]
             mv.pres = rows[:, None]
             return mv
+        from .. import native
+        if native.get_lib() is not None:
+            res = native.merge_sites([ctx.st for ctx in self.dbs],
+                                     rows_per_db)
+            if res is not None:
+                (n, rid, pos, rlen, nal, ref_len, alt_len, pres, ref_cat,
+                 alt_cat) = res
+                mv = MergedSites(n)
+                mv.rid, mv.pos, mv.rlen, mv.n_allele = rid, pos, rlen, nal
+                mv.ref_len, mv.alt_len = ref_len, alt_len
+                mv.ref_cat, mv.alt_cat = ref_cat, alt_cat
+                mv.ref_off = np.zeros(n, np.int64)
+                np.cumsum(ref_len[:-1], out=mv.ref_off[1:])
+                mv.alt_off = np.zeros(n, np.int64)
+                np.cumsum(alt_len[:-1], out=mv.alt_off[1:])
+                mv.pres = pres
+                return mv
         fast = self._merge_lexsort(rows_per_db)
         if fast is not None:
             return fast

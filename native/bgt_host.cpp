@@ -2531,3 +2531,162 @@ void bgt_import_meta(void* h, void** rid, void** pos, void** end,
 void bgt_import_free(void* h) { delete (ImportResult*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native multi-DB site merge: a streaming k-way merge over key-sorted
+// per-DB site selections (rid, pos, rlen, alt) — the site streams are
+// sorted by construction (the atomizer emits in key order), so no sort is
+// needed; equal keys across DBs consume together, pairing duplicate keys
+// occurrence-wise exactly like the reference lookahead merge
+// (bgt.c:803-842) and fastpath._merge_dict.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MergeResult {
+    std::vector<int32_t> rid, nal;
+    std::vector<int64_t> pos, rlen, ref_len, alt_len, pres;
+    std::vector<uint8_t> ref_cat, alt_cat;
+    int64_t n = 0;
+};
+
+struct MergeCursor {
+    const int64_t* rows;
+    int64_t n, i;
+    const int32_t* rid;
+    const int64_t* pos;
+    const int64_t* rlen;
+    const int32_t* nal;
+    const int64_t* aoff;
+    const int64_t* alen;
+    const uint8_t* acat;
+    const int64_t* roff;
+    const int64_t* rflen;
+    const uint8_t* rcat;
+
+    bool done() const { return i >= n; }
+    int64_t row() const { return rows[i]; }
+};
+
+// -1/0/1 comparison of cursor heads by (rid, pos, rlen, alt-bytes)
+int head_cmp(const MergeCursor& a, const MergeCursor& b) {
+    int64_t ra = a.row(), rb = b.row();
+    if (a.rid[ra] != b.rid[rb]) return a.rid[ra] < b.rid[rb] ? -1 : 1;
+    if (a.pos[ra] != b.pos[rb]) return a.pos[ra] < b.pos[rb] ? -1 : 1;
+    if (a.rlen[ra] != b.rlen[rb]) return a.rlen[ra] < b.rlen[rb] ? -1 : 1;
+    int64_t la = a.alen[ra], lb = b.alen[rb];
+    int c = memcmp(a.acat + a.aoff[ra], b.acat + b.aoff[rb],
+                   (size_t)std::min(la, lb));
+    if (c) return c < 0 ? -1 : 1;
+    if (la != lb) return la < lb ? -1 : 1;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bgt_merge_sites(int32_t n_db, const int64_t* db_nrows,
+                      const int64_t* rows_cat, const void** rid_p,
+                      const void** pos_p, const void** rlen_p,
+                      const void** nal_p, const void** aoff_p,
+                      const void** alen_p, const void** acat_p,
+                      const void** roff_p, const void** rflen_p,
+                      const void** rcat_p) {
+    std::vector<MergeCursor> cur((size_t)n_db);
+    int64_t off = 0;
+    for (int32_t d = 0; d < n_db; ++d) {
+        MergeCursor& c = cur[d];
+        c.rows = rows_cat + off;
+        c.n = db_nrows[d];
+        c.i = 0;
+        off += c.n;
+        c.rid = (const int32_t*)rid_p[d];
+        c.pos = (const int64_t*)pos_p[d];
+        c.rlen = (const int64_t*)rlen_p[d];
+        c.nal = (const int32_t*)nal_p[d];
+        c.aoff = (const int64_t*)aoff_p[d];
+        c.alen = (const int64_t*)alen_p[d];
+        c.acat = (const uint8_t*)acat_p[d];
+        c.roff = (const int64_t*)roff_p[d];
+        c.rflen = (const int64_t*)rflen_p[d];
+        c.rcat = (const uint8_t*)rcat_p[d];
+    }
+    auto* R = new MergeResult();
+    int64_t total = off;
+    R->rid.reserve(total);
+    R->pos.reserve(total);
+    R->rlen.reserve(total);
+    R->nal.reserve(total);
+    R->ref_len.reserve(total);
+    R->alt_len.reserve(total);
+    R->pres.reserve(total * n_db);
+    for (;;) {
+        int min_d = -1;
+        for (int32_t d = 0; d < n_db; ++d) {
+            if (cur[d].done()) continue;
+            if (min_d < 0 || head_cmp(cur[d], cur[min_d]) < 0) min_d = d;
+        }
+        if (min_d < 0) break;
+        const MergeCursor& m = cur[min_d];
+        int64_t mr = m.row();
+        // capture the min key BEFORE any cursor advances (equality checks
+        // below must not see a consumed head)
+        int32_t krid = m.rid[mr];
+        int64_t kpos = m.pos[mr], krlen = m.rlen[mr];
+        const uint8_t* kalt = m.acat + m.aoff[mr];
+        int64_t kalen = m.alen[mr];
+        R->rid.push_back(krid);
+        R->pos.push_back(kpos);
+        R->rlen.push_back(krlen);
+        R->ref_len.push_back(m.rflen[mr]);
+        R->ref_cat.insert(R->ref_cat.end(), m.rcat + m.roff[mr],
+                          m.rcat + m.roff[mr] + m.rflen[mr]);
+        R->alt_len.push_back(kalen);
+        R->alt_cat.insert(R->alt_cat.end(), kalt, kalt + kalen);
+        int32_t nal = 0;
+        size_t pres_base = R->pres.size();
+        R->pres.resize(pres_base + n_db, -1);
+        for (int32_t d = 0; d < n_db; ++d) {
+            MergeCursor& c = cur[d];
+            if (c.done()) continue;
+            int64_t r = c.row();
+            bool eq = d == min_d ||
+                      (c.rid[r] == krid && c.pos[r] == kpos &&
+                       c.rlen[r] == krlen && c.alen[r] == kalen &&
+                       memcmp(c.acat + c.aoff[r], kalt, (size_t)kalen) == 0);
+            if (eq) {
+                R->pres[pres_base + d] = r;
+                if (c.nal[r] > nal) nal = c.nal[r];
+                ++c.i;
+            }
+        }
+        R->nal.push_back(nal);
+        ++R->n;
+    }
+    return R;
+}
+
+int64_t bgt_merge_n(void* h) { return ((MergeResult*)h)->n; }
+
+void bgt_merge_data(void* h, void** rid, void** pos, void** rlen, void** nal,
+                    void** ref_len, void** alt_len, void** pres,
+                    void** ref_cat, int64_t* ref_cat_len, void** alt_cat,
+                    int64_t* alt_cat_len) {
+    auto* r = (MergeResult*)h;
+    *rid = r->rid.data();
+    *pos = r->pos.data();
+    *rlen = r->rlen.data();
+    *nal = r->nal.data();
+    *ref_len = r->ref_len.data();
+    *alt_len = r->alt_len.data();
+    *pres = r->pres.data();
+    *ref_cat = r->ref_cat.data();
+    *ref_cat_len = (int64_t)r->ref_cat.size();
+    *alt_cat = r->alt_cat.data();
+    *alt_cat_len = (int64_t)r->alt_cat.size();
+}
+
+void bgt_merge_free(void* h) { delete (MergeResult*)h; }
+
+}  // extern "C"

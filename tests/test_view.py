@@ -564,13 +564,69 @@ def test_merge_lexsort_vs_dict_oracle(tmp_path, ref_bgt):
             k = int(rng.integers(0, n_sites + 1))
             rows_per_db.append(np.sort(rng.choice(n_sites, k, replace=False))
                                .astype(np.int64))
-        a = fv._merge_lexsort(rows_per_db)
         b = fv._merge_dict(rows_per_db)
-        assert a is not None
-        assert a.n == b.n, trial
-        assert np.array_equal(a.pres, b.pres)
-        for f in ("rid", "pos", "rlen", "n_allele", "ref_len", "alt_len",
-                  "ref_off", "alt_off"):
-            assert np.array_equal(getattr(a, f), getattr(b, f)), (trial, f)
-        assert a.ref_cat == b.ref_cat and a.alt_cat == b.alt_cat, trial
+        variants = {"lexsort": fv._merge_lexsort(rows_per_db),
+                    "native": fv._merge(rows_per_db)}
+        for label, a in variants.items():
+            assert a is not None, label
+            assert a.n == b.n, (trial, label)
+            assert np.array_equal(a.pres, b.pres), (trial, label)
+            for f in ("rid", "pos", "rlen", "n_allele", "ref_len", "alt_len",
+                      "ref_off", "alt_off"):
+                assert np.array_equal(getattr(a, f), getattr(b, f)), \
+                    (trial, label, f)
+            assert bytes(a.ref_cat) == b.ref_cat, (trial, label)
+            assert bytes(a.alt_cat) == b.alt_cat, (trial, label)
     bm.close()
+
+
+def test_al_filter_inverted_matches_walk(tmp_path, ref_bgt):
+    """Small -a sets over large site counts take the probe-per-key path;
+    it must select exactly the rows of the full walk (incl. region
+    intersection and ref-side keys), and stay byte-parity with the
+    reference."""
+    import numpy as np
+    vcf = testing.random_vcf(n_samples=6, n_sites=1500, seed=91,
+                             p_indel=0.3, p_multi=0.3)
+    (tmp_path / "in.vcf").write_text(vcf)
+    res = subprocess.run([ref_bgt, "import", "-S", "refdb", "in.vcf"],
+                         cwd=tmp_path, capture_output=True)
+    assert res.returncode == 0
+    importer.import_vcf(str(tmp_path / "ourdb"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    keys = subprocess.run([ref_bgt, "getalt", "refdb"], cwd=tmp_path,
+                          capture_output=True).stdout.decode().splitlines()
+    pick = ",".join(keys[5:20:3])  # 5 keys vs 1500+ sites -> inverted path
+    from bgt_tpu.query import engine as eng, fastpath
+    from bgt_tpu.query.view import ViewOptions
+    import os
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        bf = eng.BgtFile("ourdb")
+        bm = eng.BgtmReader([bf])
+        assert bm.set_alleles("," + pick, None, None) > 0
+        bm.prepare()
+        opt = ViewOptions()
+        fv = fastpath.FastView(bm, opt)
+        ctx = fv.dbs[0]
+        rows = np.arange(ctx.st.n)
+        assert rows.size > 64 * len(bm.h_al)
+        inv = ctx._al_filter_inverted(rows)
+        walk = ctx._al_filter_walk(rows)
+        assert inv is not None and np.array_equal(inv, walk)
+        assert inv.size > 0
+        # region-limited selection intersects correctly
+        sub = rows[rows % 2 == 0]
+        inv2 = ctx._al_filter_inverted(sub)
+        walk2 = walk[np.isin(walk, sub)]
+        assert np.array_equal(inv2, walk2)
+        bm.close()
+    finally:
+        os.chdir(old)
+    for mode in (["-S"], ["-H"], ["-C"]):
+        ref = subprocess.run([ref_bgt, "view", "-a," + pick] + mode + ["refdb"],
+                             cwd=tmp_path, capture_output=True)
+        assert ref.returncode == 0
+        ours = run_ours(["-a," + pick] + mode, tmp_path)
+        assert ours == ref.stdout.decode(), mode
