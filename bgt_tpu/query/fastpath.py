@@ -1087,6 +1087,15 @@ class FastView:
         if sel.size == 0 or (getattr(opt, "not_vcf", False) and not bm.fields):
             return  # -S/-H runs emit no records (view.c:151-156)
 
+        if not no_gt:
+            # bulk GT dumps walk every plane page: warm the cache
+            # sequentially instead of faulting 4 KiB at a time
+            for ctx in self.dbs:
+                ts = ctx.ts
+                if (ctx.g.n_out and not ts.is_shard
+                        and sel.size * ts.plane0.shape[1] * 8 > 512 << 20):
+                    ts.prefault()
+
         bcf_writer = getattr(opt, "bcf_writer", None)
         if bcf_writer is not None:
             self._emit_bcf(bcf_writer, sel, mv, an, ac, ac_m,
