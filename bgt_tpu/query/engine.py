@@ -660,18 +660,24 @@ class BgtmReader:
         for g in self.bgt:
             g.prepare()
             self.n_out += g.n_out
-        mgs = []
-        group = []
-        sample_idx = []
+        mgs_parts = []
+        group_parts = []
+        idx_parts = []
         for i, g in enumerate(self.bgt):
-            for j in range(g.n_out):
-                sample_idx.append((i, int(g.out[j])))
-                group.append(int(g.group[j]) if self.n_groups else 1)
-                m = int(g.f.mgs[g.out[j]])
-                mgs.append(m if m >= 0 else self.mgs_def)
-        self.mgs = np.array(mgs, dtype=np.int32) if mgs else np.zeros(0, np.int32)
-        self.group = np.array(group, dtype=np.uint32) if group else np.zeros(0, np.uint32)
-        self.sample_idx = sample_idx
+            out = np.asarray(g.out, dtype=np.int64)
+            m = np.asarray(g.f.mgs)[out].astype(np.int32)
+            mgs_parts.append(np.where(m >= 0, m, np.int32(self.mgs_def)))
+            group_parts.append(np.asarray(g.group, dtype=np.uint32)
+                               if self.n_groups
+                               else np.ones(out.size, np.uint32))
+            fi = np.full(out.size, i, dtype=np.int64)
+            idx_parts.append(np.stack([fi, out], axis=1))
+        self.mgs = (np.concatenate(mgs_parts) if mgs_parts
+                    else np.zeros(0, np.int32))
+        self.group = (np.concatenate(group_parts) if group_parts
+                      else np.zeros(0, np.uint32))
+        self.sample_idx = (np.concatenate(idx_parts) if idx_parts
+                           else np.zeros((0, 2), np.int64))
         if self.n_groups == 0:
             self.n_groups = 1
         if not (self.mgs <= 1).any():
@@ -882,45 +888,61 @@ class BgtmReader:
     # --- epilogues ---------------------------------------------------------
 
     def hapcnt_print(self) -> str:
-        """-H report (bgtm_hapcnt + bgtm_hapcnt_print_destroy, bgt.c:900-955)."""
+        """-H report (bgtm_hapcnt + bgtm_hapcnt_print_destroy, bgt.c:900-955).
+
+        Vectorized aggregation (unique-mask ids in first-seen order, counts
+        by bincount); the final small sort keeps the reference's unstable
+        ks_introsort tie order byte-for-byte."""
         if self.hap is None or self.n_out == 0:
             return ""
-        uniq: dict[int, int] = {}
-        for h in self.hap:
-            uniq.setdefault(int(h), len(uniq))
-        n = len(uniq)
-        tot = [0] * n
-        cnt = [[0] * self.n_groups for _ in range(n)]
-        for i in range(self.n_out * 2):
-            t = uniq[int(self.hap[i])]
-            tot[t] += 1
-            for j in range(self.n_groups):
-                # reference quirk: the group number is tested as a bitmask here
-                if int(self.group[i >> 1]) & (1 << j):
-                    cnt[t][j] += 1
+        u, first, inv = np.unique(self.hap, return_index=True,
+                                  return_inverse=True)
+        n = u.size
+        # renumber unique masks in order of first appearance (the reference
+        # hash assigns ids as masks are first seen, bgt.c:905-913)
+        order_seen = np.argsort(first, kind="stable")
+        remap = np.empty(n, dtype=np.int64)
+        remap[order_seen] = np.arange(n)
+        t_of_hap = remap[inv]
+        tot = np.bincount(t_of_hap, minlength=n)
+        hap_group = np.repeat(self.group.astype(np.int64), 2)
+        cnt = np.zeros((n, self.n_groups), dtype=np.int64)
+        for j in range(self.n_groups):
+            # reference quirk: the group number is tested as a bitmask here
+            sel = (hap_group >> j) & 1
+            cnt[:, j] = np.bincount(t_of_hap, weights=sel,
+                                    minlength=n).astype(np.int64)
         order = list(range(n))
         from ..core.introsort import ks_introsort
-        ks_introsort(order, lambda x, y: tot[x] > tot[y])
-        haps = {v: k for k, v in uniq.items()}
+        tot_l = tot.tolist()
+        ks_introsort(order, lambda x, y: tot_l[x] > tot_l[y])
+        haps = u[order_seen]
         out = [f"NA\t{len(self.aal)}"]
         for a in self.aal:
             out.append(f"AA\t{a.chrom}:{a.pos + 1}:{a.rlen}:{a.al}")
         out.append(f"NH\t{n}\t{self.n_groups}")
+        cnt_l = cnt.tolist()
+        # '0'/'1' digit matrix for all mask rows at once (shift counts wrap
+        # at 64 as on x86, matching the accumulator)
+        shifts = (np.arange(len(self.aal)) & 63).astype(np.uint64)
+        digits = (48 + ((haps[:, None] >> shifts[None, :])
+                        & np.uint64(1))).astype(np.uint8)
+        blob = digits.tobytes().decode("latin-1")
+        w = len(self.aal)
         for t in order:
-            bits = "".join(str((haps[t] >> j) & 1) for j in range(len(self.aal)))
-            out.append("HC\t" + bits + "".join(f"\t{c}" for c in cnt[t]))
+            bits = blob[t * w: (t + 1) * w]
+            out.append("HC\t" + bits + "".join(f"\t{c}" for c in cnt_l[t]))
         return "\n".join(out) + "\n"
 
     def alcnt_print(self) -> str:
         """-S report (bgtm_alcnt_print, bgt.c:957-969)."""
         out = []
-        for i in range(self.n_out):
-            if int(self.alcnt[i]) == len(self.aal):
-                if self.mgs[i] > 1:
-                    continue
-                fi, row = self.sample_idx[i]
-                name = self.bgt[fi].f.f.row_name(row)
-                out.append(f"SP\t{name}\t{fi + 1}\n")
+        hits = np.nonzero((self.alcnt == len(self.aal))
+                          & (self.mgs[: self.n_out] <= 1))[0]
+        for i in hits.tolist():
+            fi, row = self.sample_idx[i]
+            name = self.bgt[fi].f.f.row_name(int(row))
+            out.append(f"SP\t{name}\t{fi + 1}\n")
         return "".join(out)
 
 
