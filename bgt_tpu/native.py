@@ -128,6 +128,12 @@ def get_lib():
         + [ctypes.c_void_p] * 4
     lib.bgt_merge_free.restype = None
     lib.bgt_merge_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_host_counts.restype = ctypes.c_int64
+    lib.bgt_host_counts.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32,
+    ]
     lib.bgt_emit_bcf_records.restype = ctypes.c_int64
     lib.bgt_emit_bcf_records.argtypes = (
         [ctypes.c_int64] + [ctypes.c_void_p] * 3            # rid, pos, rlen

@@ -264,7 +264,32 @@ def device_available() -> bool:
 
 def host_counts(ts: TileStore, rows: np.ndarray, masks: np.ndarray,
                 chunk_rows: int = 16384) -> np.ndarray:
-    """CPU masked-popcount counts (same math as the device kernel)."""
+    """CPU masked-popcount counts (same math as the device kernel);
+    threaded native popcount when the library is present."""
+    from .. import native
+    lib = native.get_lib()
+    if lib is not None and ts.plane0.flags.c_contiguous and rows.size:
+        import ctypes
+        import os
+        n_g = masks.shape[0]
+        rows_c = np.ascontiguousarray(rows, np.int64)
+        masks_c = np.ascontiguousarray(masks, np.uint32)
+        pop = np.ascontiguousarray(
+            np.bitwise_count(masks_c).sum(axis=1, dtype=np.int32))
+        out = np.empty((rows.size, n_g, 4), dtype=np.int32)
+        nt = min(os.cpu_count() or 1, 8)
+        p0 = ts.plane0.ctypes.data if isinstance(ts.plane0, np.ndarray) \
+            else None
+        if p0 is not None:
+            ret = lib.bgt_host_counts(
+                ctypes.c_void_p(ts.plane0.ctypes.data),
+                ctypes.c_void_p(ts.plane1.ctypes.data),
+                ctypes.c_void_p(rows_c.ctypes.data), rows_c.size,
+                ts.plane0.shape[1], ctypes.c_void_p(masks_c.ctypes.data),
+                n_g, ctypes.c_void_p(pop.ctypes.data),
+                ctypes.c_void_p(out.ctypes.data), nt)
+            if ret == 0:
+                return out
     n_g = masks.shape[0]
     out = np.empty((rows.size, n_g, 4), dtype=np.int32)
     tot = np.bitwise_count(masks).sum(axis=1, dtype=np.int32)
@@ -643,6 +668,9 @@ class _DbCtx:
                                                      length))
             return counts[rows - start]
         if self._count_tier(rows, masks, memo_ok) == "host":
+            if (memo_ok or rows.size > ts.n_rows // 2) \
+                    and ts.plane0.nbytes * 2 > 256 << 20:
+                ts.prefault()  # full-tile pass: avoid 4KiB fault-at-a-time
             counts = host_counts(ts, np.arange(ts.n_rows) if memo_ok else rows,
                                  masks)
             if memo_ok:

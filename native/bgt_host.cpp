@@ -2690,3 +2690,57 @@ void bgt_merge_data(void* h, void** rid, void** pos, void** rlen, void** nal,
 void bgt_merge_free(void* h) { delete (MergeResult*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded masked popcount counts: the host tier of the AC/AN reduction
+// (same math as the device kernel, ops/counts.py; reference bgt.c:735-757).
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t bgt_host_counts(const uint32_t* p0, const uint32_t* p1,
+                                   const int64_t* rows, int64_t n_rows,
+                                   int32_t n_words, const uint32_t* masks,
+                                   int32_t n_g, const int32_t* mask_pop,
+                                   int32_t* out, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        const uint64_t* m64base = (const uint64_t*)masks;
+        int32_t w64 = n_words / 2;
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint32_t* r0 = p0 + rows[i] * n_words;
+            const uint32_t* r1 = p1 + rows[i] * n_words;
+            const uint64_t* a = (const uint64_t*)r0;
+            const uint64_t* b = (const uint64_t*)r1;
+            int32_t* o = out + i * n_g * 4;
+            for (int32_t g = 0; g < n_g; ++g) {
+                const uint64_t* m = m64base + (size_t)g * w64;
+                int64_t n10 = 0, n11 = 0, nb = 0;
+                for (int32_t w = 0; w < w64; ++w) {
+                    uint64_t mw = m[w];
+                    n10 += __builtin_popcountll(a[w] & mw);
+                    n11 += __builtin_popcountll(b[w] & mw);
+                    nb += __builtin_popcountll(a[w] & b[w] & mw);
+                }
+                int32_t cnt1 = (int32_t)(n10 - nb);
+                int32_t cnt2 = (int32_t)(n11 - nb);
+                o[g * 4 + 0] = mask_pop[g] - cnt1 - cnt2 - (int32_t)nb;
+                o[g * 4 + 1] = cnt1;
+                o[g * 4 + 2] = cnt2;
+                o[g * 4 + 3] = (int32_t)nb;
+            }
+        }
+    };
+    if (n_words % 2 != 0) return -1;  // planes are 1024-bit aligned
+    if (n_threads == 1 || n_rows < 1024) {
+        work(0, n_rows);
+        return 0;
+    }
+    std::vector<std::thread> ts;
+    int64_t per = (n_rows + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = std::min<int64_t>(n_rows, lo + per);
+        if (lo >= hi) break;
+        ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+    return 0;
+}
