@@ -128,6 +128,19 @@ def get_lib():
         + [ctypes.c_void_p] * 4
     lib.bgt_merge_free.restype = None
     lib.bgt_merge_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_al_set_new.restype = ctypes.c_void_p
+    lib.bgt_al_set_new.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                   ctypes.c_int64]
+    lib.bgt_al_set_len.restype = ctypes.c_int64
+    lib.bgt_al_set_len.argtypes = [ctypes.c_void_p]
+    lib.bgt_al_set_contains.restype = ctypes.c_int32
+    lib.bgt_al_set_contains.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_int64]
+    lib.bgt_al_set_free.restype = None
+    lib.bgt_al_set_free.argtypes = [ctypes.c_void_p]
+    lib.bgt_al_match.restype = None
+    lib.bgt_al_match.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int64] + [ctypes.c_void_p] * 13
     lib.bgt_host_counts.restype = ctypes.c_int64
     lib.bgt_host_counts.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,

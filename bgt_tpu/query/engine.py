@@ -427,7 +427,86 @@ def al_from_bcf(h: bcflib.BcfHeader, b: Bcf1):
     return a, r
 
 
-def al_present(h_al: set, h: bcflib.BcfHeader, b: Bcf1) -> int:
+class AlleleSet:
+    """Set of canonical allele keys backed by the native hash set.
+
+    Looks like the plain ``set`` of key strings that the engine used to
+    build eagerly (``in`` / ``len`` / ``iter``), but construction is one
+    native pass over the batch-parsed key arrays and membership probes go
+    through ctypes — the 0.7s-per-query Python set build over genome-scale
+    -d/-a sets disappears.  Iteration (only reached for small sets, e.g.
+    the probe-per-key site prefilter) materializes lazily."""
+
+    def __init__(self, key_cat: bytes, key_off):
+        from .. import native
+        self._cat = key_cat
+        self._off = np.ascontiguousarray(key_off, dtype=np.int64)
+        lib = native.get_lib()
+        self._lib = lib
+        self._h = lib.bgt_al_set_new(
+            key_cat, self._off.ctypes.data_as(__import__("ctypes").c_void_p),
+            self._off.size - 1)
+        self._pyset: set | None = None
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h and self._lib is not None:
+            self._lib.bgt_al_set_free(h)
+            self._h = None
+
+    def __len__(self) -> int:
+        return int(self._lib.bgt_al_set_len(self._h))
+
+    def __contains__(self, key) -> bool:
+        k = key.encode("latin-1") if isinstance(key, str) else key
+        return bool(self._lib.bgt_al_set_contains(self._h, k, len(k)))
+
+    def _materialize(self) -> set:
+        if self._pyset is None:
+            off = self._off.tolist()
+            self._pyset = {
+                self._cat[off[i]: off[i + 1]].decode("latin-1")
+                for i in range(len(off) - 1)
+            }
+        return self._pyset
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def match_sites(self, st, rows: np.ndarray, ctg_names: list[str]):
+        """(len(rows),) uint8 kinds: 1 alt-key match, 2 ref-key match,
+        0 none (al_present, bgt.c:252-270) — one native pass."""
+        import ctypes
+        names = [n.encode("latin-1") for n in ctg_names]
+        ctg_cat = b"".join(names)
+        ctg_len = np.array([len(x) for x in names], dtype=np.int64)
+        ctg_off = np.zeros(len(names), dtype=np.int64)
+        np.cumsum(ctg_len[:-1], out=ctg_off[1:])
+        rows_c = np.ascontiguousarray(rows, np.int64)
+        kinds = np.zeros(rows_c.size, dtype=np.uint8)
+
+        def vp(a):
+            return ctypes.c_void_p(a.ctypes.data)
+
+        rid = np.ascontiguousarray(st.rid, np.int32)
+        pos = np.ascontiguousarray(st.pos, np.int64)
+        rlen = np.ascontiguousarray(st.rlen, np.int64)
+        roff = np.ascontiguousarray(st.ref_off, np.int64)
+        rlen2 = np.ascontiguousarray(st.ref_len, np.int64)
+        aoff = np.ascontiguousarray(st.alt_off, np.int64)
+        alen = np.ascontiguousarray(st.alt_len, np.int64)
+        self._lib.bgt_al_match(
+            self._h, vp(rows_c), rows_c.size, vp(rid), vp(pos), vp(rlen),
+            vp(roff), vp(rlen2),
+            ctypes.cast(ctypes.c_char_p(st.ref_cat), ctypes.c_void_p),
+            vp(aoff), vp(alen),
+            ctypes.cast(ctypes.c_char_p(st.alt_cat), ctypes.c_void_p),
+            ctypes.cast(ctypes.c_char_p(ctg_cat), ctypes.c_void_p),
+            vp(ctg_off), vp(ctg_len), vp(kinds))
+        return kinds
+
+
+def al_present(h_al, h: bcflib.BcfHeader, b: Bcf1) -> int:
     a, r = al_from_bcf(h, b)
     if a.fmt() in h_al:
         return 1
@@ -627,10 +706,13 @@ class BgtmReader:
         n = pos_a.size
         if n == 0:
             return 0
-        h: set = set()
-        off_l = key_off.tolist()
-        for i in range(n):
-            h.add(key_cat[off_l[i]: off_l[i + 1]].decode("latin-1"))
+        from .. import native
+        if native.get_lib() is not None:
+            h = AlleleSet(key_cat, key_off)
+        else:
+            off_l = key_off.tolist()
+            h = {key_cat[off_l[i]: off_l[i + 1]].decode("latin-1")
+                 for i in range(n)}
         # region autoset requires a single chromosome across the set
         L0 = int(chrom_len[0])
         chrom0 = key_cat[:L0].decode("latin-1")

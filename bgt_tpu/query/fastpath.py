@@ -519,6 +519,11 @@ class _DbCtx:
             inv = self._al_filter_inverted(rows)
             if inv is not None:
                 return inv
+        if isinstance(self.g.h_al, engine.AlleleSet):
+            ctg = [n for n, _ in
+                   self.g.h_out.ids[bcflib.BCF_DT_CTG]]
+            kinds = self.g.h_al.match_sites(self.st, rows, ctg)
+            return rows[kinds != 0]
         return self._al_filter_walk(rows)
 
     def _al_filter_walk(self, rows: np.ndarray) -> np.ndarray:

@@ -2744,3 +2744,85 @@ extern "C" int64_t bgt_host_counts(const uint32_t* p0, const uint32_t* p1,
     for (auto& t : ts) t.join();
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Native allele set: hashed canonical allele keys with a batched site
+// matcher (al_present semantics, reference bgt.c:252-270) — replaces the
+// per-site Python key build + set probe for large -a/-d sets.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct AlSet {
+    std::vector<uint8_t> cat;                       // owned key bytes
+    std::unordered_map<std::string_view, int> keys; // view into cat
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bgt_al_set_new(const uint8_t* key_cat, const int64_t* key_off,
+                     int64_t n_keys) {
+    auto* s = new AlSet();
+    int64_t total = n_keys ? key_off[n_keys] : 0;
+    s->cat.assign(key_cat, key_cat + total);
+    s->keys.reserve((size_t)n_keys * 2);
+    for (int64_t i = 0; i < n_keys; ++i) {
+        std::string_view k((const char*)s->cat.data() + key_off[i],
+                           (size_t)(key_off[i + 1] - key_off[i]));
+        s->keys.emplace(k, 1);
+    }
+    return s;
+}
+
+int64_t bgt_al_set_len(void* h) { return (int64_t)((AlSet*)h)->keys.size(); }
+
+int32_t bgt_al_set_contains(void* h, const uint8_t* key, int64_t len) {
+    auto* s = (AlSet*)h;
+    return s->keys.count(std::string_view((const char*)key, (size_t)len)) ? 1
+                                                                          : 0;
+}
+
+void bgt_al_set_free(void* h) { delete (AlSet*)h; }
+
+// kinds[i] = 1 (alt key in set), 2 (only ref key in set), 0 (neither) for
+// each selected site row — bgt_al_from_bcf + al_present batched.
+void bgt_al_match(void* h, const int64_t* rows, int64_t n_sel,
+                  const int32_t* rid, const int64_t* pos, const int64_t* rlen,
+                  const int64_t* ref_off, const int64_t* ref_len,
+                  const uint8_t* ref_cat, const int64_t* alt_off,
+                  const int64_t* alt_len, const uint8_t* alt_cat,
+                  const uint8_t* ctg_cat, const int64_t* ctg_off,
+                  const int64_t* ctg_len, uint8_t* kinds) {
+    auto* s = (AlSet*)h;
+    std::string key;
+    for (int64_t i = 0; i < n_sel; ++i) {
+        int64_t r = rows[i];
+        const uint8_t* ref = ref_cat + ref_off[r];
+        const uint8_t* alt = alt_cat + alt_off[r];
+        int64_t lr = ref_len[r], la = alt_len[r];
+        int64_t min_l = std::min(lr, la);
+        int64_t shift = 0;
+        while (shift < min_l && ref[shift] == alt[shift]) ++shift;
+        key.clear();
+        key.append((const char*)ctg_cat + ctg_off[rid[r]],
+                   (size_t)ctg_len[rid[r]]);
+        key.push_back(':');
+        key += std::to_string(pos[r] + shift);
+        key.push_back(':');
+        key += std::to_string(rlen[r] - shift);
+        key.push_back(':');
+        size_t head = key.size();
+        key.append((const char*)alt + shift, (size_t)(la - shift));
+        if (s->keys.count(std::string_view(key))) {
+            kinds[i] = 1;
+            continue;
+        }
+        key.resize(head);
+        key.append((const char*)ref + shift, (size_t)(lr - shift));
+        kinds[i] = s->keys.count(std::string_view(key)) ? 2 : 0;
+    }
+}
+
+}  // extern "C"
