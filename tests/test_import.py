@@ -220,3 +220,25 @@ def test_native_import_gzip_input(tmp_path):
     assert n1 == n2
     assert (tmp_path / "a.pbf").read_bytes() == (tmp_path / "b.pbf").read_bytes()
     assert (tmp_path / "a.bcf").read_bytes() == (tmp_path / "b.bcf").read_bytes()
+
+
+@pytest.mark.parametrize("fixture", ["ex2.vcf", "ex3.vcf"])
+def test_native_import_reference_fixtures(tmp_path, ref_bgt, monkeypatch, fixture):
+    """The CIGAR/complex-overlap atomizer fixtures import byte-identically
+    through the one-pass native importer (ex3 exercises INFO/CIGAR)."""
+    from bgt_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    src = str(REF_DIR / fixture)
+    res = run_ref(ref_bgt, ["import", "-S", "refdb", src], tmp_path)
+    assert res.returncode == 0, res.stderr.decode()
+    from bgt_tpu.query import importer as imp
+    used = []
+    orig = imp._native_import
+    monkeypatch.setattr(imp, "_native_import",
+                        lambda *a, **k: used.append(1) or orig(*a, **k))
+    imp.import_vcf(str(tmp_path / "ourdb"), [src], is_vcf=True)
+    assert used
+    for ext in (".bcf", ".pbf", ".spl"):
+        assert (tmp_path / f"ourdb{ext}").read_bytes() == \
+            (tmp_path / f"refdb{ext}").read_bytes(), ext
