@@ -311,8 +311,18 @@ def _cached_scan_columns(fn: str, names: list[str]):
         if res is None:
             return None
         n, name_cat, name_off, name_len, line_off, line_len, fresh = res
+        if sc is not None and sc.idx["n"] != n:
+            # stale sidecar despite the stat match (replaced file, crashed
+            # writer): discard it and rescan every requested key
+            sc = None
+            kinds = {}
+            missing = list(names)
+            res = native.fmf_scan_columns(fn, missing)
+            if res is None:
+                return None
+            n, name_cat, name_off, name_len, line_off, line_len, fresh = res
         cached: dict[str, tuple] = {}
-        if sc is not None and sc.idx["n"] == n:
+        if sc is not None:
             # merge: carry the existing columns over (materialized)
             for k, kind in kinds.items():
                 cached[k] = (kind, np.array(sc.arr(f"c:{k}:vtype")),

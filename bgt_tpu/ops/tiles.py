@@ -281,20 +281,33 @@ class TileStore:
         pbf = prefix + ".pbf"
         if os.path.exists(gtc) and os.path.getmtime(gtc) >= os.path.getmtime(pbf):
             return cls.load(gtc)
+        # build into a temp path and rename: the streaming writers pwrite at
+        # final offsets, so an interrupted build would otherwise leave a
+        # full-size, header-complete file that loads with zeroed planes
+        tmp = f"{gtc}.tmp{os.getpid()}"
         from .. import native
         try:
-            if native.gtc_from_pbf(pbf, gtc) is not None:
+            try:
+                if native.gtc_from_pbf(pbf, tmp) is not None:
+                    os.replace(tmp, gtc)
+                    return cls.load(gtc)
+            except OSError:
+                pass
+            if cls.build_gtc(pbf, tmp) is not None:
+                os.replace(tmp, gtc)
                 return cls.load(gtc)
-        except OSError:
-            pass
-        if cls.build_gtc(pbf, gtc) is not None:
-            return cls.load(gtc)
-        ts = cls.from_pbf(pbf)
-        try:
-            ts.save(gtc)
-        except OSError:
-            pass
-        return ts
+            ts = cls.from_pbf(pbf)
+            try:
+                ts.save(tmp)
+                os.replace(tmp, gtc)
+            except OSError:
+                pass
+            return ts
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     @classmethod
     def emit_shards(cls, prefix: str, n_proc: int,
@@ -307,14 +320,17 @@ class TileStore:
         words = meshlib.pad_words_for_mesh(ts.n_words, n_dev_total)
         per_dev = words // n_dev_total
         dpp = n_dev_total // n_proc
+        if (n_proc - 1) * dpp * per_dev >= ts.n_words:
+            raise ValueError(
+                f"mesh ({n_proc} processes x {n_dev_total // n_proc} devices)"
+                f" is wider than the {ts.n_words}-word matrix: the last "
+                "process would own no real columns — use fewer processes")
         paths = []
         for k in range(n_proc):
             lo = k * dpp * per_dev
             hi = min((k + 1) * dpp * per_dev, ts.n_words)
             path = f"{prefix}.gtc.shard-{k}-of-{n_proc}"
-            if lo >= ts.n_words:
-                lo = ts.n_words - 1  # degenerate: mesh wider than matrix
-            ts.save_shard(path, lo, max(hi, lo + 1))
+            ts.save_shard(path, lo, hi)
             paths.append(path)
         return paths
 

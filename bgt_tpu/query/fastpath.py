@@ -565,16 +565,20 @@ class _DbCtx:
         cand: set[int] = set()
         comp = st.rid.astype(np.int64) * (1 << 40) + st.pos
         for key in g.h_al:
-            c = key.split(":", 2)
-            if len(c) < 3:
+            # canonical key = chrom:pos:rlen:seq where chrom may itself
+            # contain ':' (HLA contigs): parse from the right and validate
+            # the numeric fields; anything odd falls back to the full walk
+            c = key.rsplit(":", 3)
+            if len(c) < 4:
+                return None
+            try:
+                kpos = int(c[1])
+                int(c[2])
+            except ValueError:
                 return None
             rid = ctg_ids.get(c[0])
             if rid is None:
                 continue
-            try:
-                kpos = int(c[1])
-            except ValueError:
-                return None
             # site pos (0-based) = key pos (1-based) - 1 - shift,
             # shift ∈ [0, ref_len)
             base = rid << 40

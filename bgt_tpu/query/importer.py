@@ -85,6 +85,10 @@ def _native_import(prefix: str, vcf_path: str, h, h0, keep_filtered: bool,
         n_lvls += 1
         s <<= 3
     idx = HtsIndex(h0.n(bcflib.BCF_DT_CTG), 14, n_lvls, offset0=voff0)
+    # per-record Python push (~2.5us each): fine through ~10^6 sites; at
+    # full HRC scale (39M) this is ~4% of import wall — the next native
+    # candidate if import is pushed further (push is a stateful bin-run
+    # tracker, so vectorizing it faithfully is nontrivial)
     push = idx.push
     for i in range(n):
         push(int(rid[i]), int(pos[i]), int(end[i]), int(voff[i]), True)

@@ -1920,6 +1920,7 @@ struct LineReader {
     std::vector<char> buf;
     size_t pos = 0, len = 0;
     bool eof = false;
+    bool error = false;  // stream error/truncation: NOT a clean EOF
 
     bool getline(std::string& out) {
         out.clear();
@@ -1928,8 +1929,15 @@ struct LineReader {
                 if (eof) return !out.empty();
                 buf.resize(1 << 20);
                 int n = gzread(gz, buf.data(), buf.size());
-                if (n < 0) return false;
+                if (n < 0) {
+                    error = true;
+                    return false;
+                }
                 if (n == 0) {
+                    // distinguish clean EOF from a truncated gzip stream
+                    int errnum = 0;
+                    gzerror(gz, &errnum);
+                    if (errnum != Z_OK || !gzeof(gz)) error = true;
                     eof = true;
                     return !out.empty();
                 }
@@ -2404,7 +2412,7 @@ void* bgt_import_text(const char* vcf_path, const char* pbf_path,
                 if (!keep_flt && skip) continue;
                 return 1;
             }
-            return 0;
+            return lr.error ? -1 : 0;  // truncated input must not look done
         };
         auto push_batch = [&]() -> bool {
             std::unique_lock<std::mutex> lk(pipe.mu);
@@ -2702,23 +2710,29 @@ extern "C" int64_t bgt_host_counts(const uint32_t* p0, const uint32_t* p1,
                                    int32_t n_g, const int32_t* mask_pop,
                                    int32_t* out, int32_t n_threads) {
     if (n_threads < 1) n_threads = 1;
+    // the memmapped planes sit at header offset 20/28, so 64-bit views are
+    // 4-byte aligned: load via memcpy (compiles to unaligned movs, no UB)
+    auto ld64 = [](const void* p, int64_t w) {
+        uint64_t v;
+        memcpy(&v, (const uint8_t*)p + w * 8, 8);
+        return v;
+    };
     auto work = [&](int64_t lo, int64_t hi) {
-        const uint64_t* m64base = (const uint64_t*)masks;
         int32_t w64 = n_words / 2;
         for (int64_t i = lo; i < hi; ++i) {
             const uint32_t* r0 = p0 + rows[i] * n_words;
             const uint32_t* r1 = p1 + rows[i] * n_words;
-            const uint64_t* a = (const uint64_t*)r0;
-            const uint64_t* b = (const uint64_t*)r1;
             int32_t* o = out + i * n_g * 4;
             for (int32_t g = 0; g < n_g; ++g) {
-                const uint64_t* m = m64base + (size_t)g * w64;
+                const uint32_t* m = masks + (size_t)g * n_words;
                 int64_t n10 = 0, n11 = 0, nb = 0;
                 for (int32_t w = 0; w < w64; ++w) {
-                    uint64_t mw = m[w];
-                    n10 += __builtin_popcountll(a[w] & mw);
-                    n11 += __builtin_popcountll(b[w] & mw);
-                    nb += __builtin_popcountll(a[w] & b[w] & mw);
+                    uint64_t mw = ld64(m, w);
+                    uint64_t aw = ld64(r0, w);
+                    uint64_t bw = ld64(r1, w);
+                    n10 += __builtin_popcountll(aw & mw);
+                    n11 += __builtin_popcountll(bw & mw);
+                    nb += __builtin_popcountll(aw & bw & mw);
                 }
                 int32_t cnt1 = (int32_t)(n10 - nb);
                 int32_t cnt2 = (int32_t)(n11 - nb);

@@ -242,3 +242,31 @@ def test_native_import_reference_fixtures(tmp_path, ref_bgt, monkeypatch, fixtur
     for ext in (".bcf", ".pbf", ".spl"):
         assert (tmp_path / f"ourdb{ext}").read_bytes() == \
             (tmp_path / f"refdb{ext}").read_bytes(), ext
+
+
+def test_native_import_truncated_gzip_fails(tmp_path):
+    """A truncated .vcf.gz must fail the import (the native reader must not
+    treat stream truncation as clean EOF and emit a silently partial DB)."""
+    from bgt_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    import gzip as gz
+    vcf = testing.random_vcf(n_samples=5, n_sites=200, seed=41)
+    with gz.open(tmp_path / "in.vcf.gz", "wt") as fp:
+        fp.write(vcf)
+    data = (tmp_path / "in.vcf.gz").read_bytes()
+    (tmp_path / "trunc.vcf.gz").write_bytes(data[: len(data) // 2])
+    calls = []
+    orig = importer._native_import
+    importer._native_import = \
+        lambda *a, **k: (lambda r: (calls.append(r), r)[1])(orig(*a, **k))
+    try:
+        with pytest.raises(Exception):
+            # the native path must reject the stream (returning None, its
+            # partial outputs removed); the python fallback then raises on
+            # the gzip error instead of any path reporting success
+            importer.import_vcf(str(tmp_path / "bad"),
+                                [str(tmp_path / "trunc.vcf.gz")], is_vcf=True)
+    finally:
+        importer._native_import = orig
+    assert calls == [None], "native importer accepted a truncated stream"

@@ -149,3 +149,37 @@ def test_native_build_bounded_memory(tmp_path):
     assert f"rows {n_rows}" in res.stdout.decode()
     ts = TileStore.load(str(tmp_path / "big.gtc"))
     assert np.array_equal(ts.rowstats, np.vstack(stats_want))
+
+
+def test_interrupted_gtc_build_not_loadable(tmp_path, monkeypatch):
+    """open_or_build writes to a temp path + renames: a killed build must
+    never leave a loadable-looking .gtc with zeroed planes."""
+    rng = np.random.default_rng(19)
+    codes = rng.choice(4, size=(50, 64)).astype(np.uint8)
+    make_pbf(tmp_path / "db.pbf", codes)
+    import bgt_tpu.ops.tiles as tiles
+    from bgt_tpu import native as nat
+    monkeypatch.setattr(nat, "gtc_from_pbf",
+                        lambda *a, **k: (_ for _ in ()).throw(OSError("x")))
+    calls = {}
+    orig = TileStore.build_gtc.__func__
+
+    def dying(cls, pbf, gtc):
+        orig(cls, pbf, gtc)  # writes the temp file fully...
+        raise KeyboardInterrupt  # ...but the build "dies" before rename
+
+    monkeypatch.setattr(TileStore, "build_gtc", classmethod(dying))
+    with pytest.raises(KeyboardInterrupt):
+        TileStore.open_or_build(str(tmp_path / "db"))
+    assert not (tmp_path / "db.gtc").exists()
+    import glob
+    assert not glob.glob(str(tmp_path / "db.gtc.tmp*")), "temp not cleaned"
+    monkeypatch.undo()
+
+
+def test_emit_shards_rejects_too_wide_mesh(tmp_path):
+    rng = np.random.default_rng(20)
+    codes = rng.choice(4, size=(30, 40)).astype(np.uint8)  # 32 words padded
+    make_pbf(tmp_path / "db.pbf", codes)
+    with pytest.raises(ValueError, match="wider"):
+        TileStore.emit_shards(str(tmp_path / "db"), n_proc=64, n_dev_total=64)
