@@ -28,12 +28,16 @@ def get_lib():
     if os.environ.get("BGT_TPU_NO_NATIVE"):
         return None
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < (
-            _REPO / "native" / "bgt_host.cpp"
-        ).stat().st_mtime:
-            subprocess.run(["sh", str(_REPO / "tools" / "build_native.sh")],
-                           check=True, capture_output=True, timeout=120)
-        lib = ctypes.CDLL(str(_SO))
+        override = os.environ.get("BGT_TPU_NATIVE_LIB")
+        if override:
+            lib = ctypes.CDLL(override)  # e.g. a sanitizer build
+        else:
+            if not _SO.exists() or _SO.stat().st_mtime < (
+                _REPO / "native" / "bgt_host.cpp"
+            ).stat().st_mtime:
+                subprocess.run(["sh", str(_REPO / "tools" / "build_native.sh")],
+                               check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(str(_SO))
     except (OSError, subprocess.SubprocessError):
         return None
     lib.bgt_pbf_writer_open.restype = ctypes.c_void_p
