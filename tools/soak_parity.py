@@ -128,8 +128,8 @@ def one_iter(seed: int) -> None:
                 # without -s the reference reads uninitialized memory for
                 # them (bgt.c:706 vs 740) — see docs/DESIGN.md §7
                 pool = ["AC>0", "AN>1&&AC*2<AN", "AC!=AN"]
-                if "-s" in args:
-                    pool += ["AC1>=0", "AC1*3<AN1"]
+                if args.count("-s") >= 2:  # n_groups<=1: ref reads uninit
+                    pool += ["AC1>=0", "AC1*3<AN1", "AC2>=0"]
                 args += ["-f", rng.choice(pool)]
             if rng.random() < 0.3 and keys:
                 pick = rng.sample(keys, rng.randint(1, min(12, len(keys))))
@@ -143,8 +143,10 @@ def one_iter(seed: int) -> None:
             if rng.random() < 0.25:
                 args += ["-n", str(rng.randint(0, n_sites))]
             if rng.random() < 0.15:
-                args += ["-t", rng.choice(
-                    ["AC,AN", "CHROM,POS,AC", "POS,AC1"])]
+                tpool = ["AC,AN", "CHROM,POS,AC", "POS,END,REF"]
+                if args.count("-s") >= 2:  # AC1 with <2 groups: ref uninit
+                    tpool.append("POS,AC1")
+                args += ["-t", rng.choice(tpool)]
             if rng.random() < 0.1:
                 args += ["-M"]
             return args
