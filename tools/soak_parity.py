@@ -99,7 +99,15 @@ def one_iter(seed: int) -> None:
             src.write_text(vcf)
         res = subprocess.run([str(REF), "import", "-S", "refdb", src.name],
                              cwd=tmp, capture_output=True)
-        assert res.returncode == 0, (seed, res.stderr.decode()[-400:])
+        if res.returncode != 0:
+            # the reference occasionally aborts on valid synthetic input
+            # (e.g. assert atomic.c:25, seen at seed 25508); our import
+            # must still succeed — no comparison possible
+            importer.import_vcf(str(tmp / "ourdb"), [str(src)], is_vcf=True)
+            print(f"[soak] seed {seed}: reference import crashed "
+                  f"({res.stderr.decode().splitlines()[-1][:90]}); ours ok",
+                  flush=True)
+            return
         importer.import_vcf(str(tmp / "ourdb"), [str(src)], is_vcf=True)
         for ext in (".bcf", ".pbf", ".spl"):
             a = (tmp / f"ourdb{ext}").read_bytes()
