@@ -258,6 +258,24 @@ def main_pbfview(argv, out=None, err=None) -> int:
     return 0
 
 
+def main_gtcshard(argv, out=None, err=None) -> int:
+    """Emit per-host column-slice tile shards (multi-host serving layout):
+    host K of an N-process mesh then opens only its shard via
+    BGT_TPU_TILE_SHARD=K:N (see docs/DESIGN.md §5)."""
+    out = out or sys.stdout
+    err = err or sys.stderr
+    opts, args = getopt.getopt(argv, "")
+    if len(args) != 3:
+        print("Usage: bgt gtcshard <bgt-base> <n-processes> <n-devices-total>",
+              file=err)
+        return 1
+    from .ops.tiles import TileStore
+    paths = TileStore.emit_shards(args[0], int(args[1]), int(args[2]))
+    for p in paths:
+        print(p, file=out)
+    return 0
+
+
 def main_kexpr(argv, out=None, err=None) -> int:
     """Standalone expression evaluator (reference kexpr.c KE_MAIN)."""
     from .core import kexpr
@@ -339,6 +357,8 @@ def main(argv=None) -> int:
             return main_bcfidx(rest)
         if cmd == "pbfview":
             return main_pbfview(rest)
+        if cmd == "gtcshard":
+            return main_gtcshard(rest)
         if cmd == "kexpr":
             return main_kexpr(rest)
         if cmd == "server":

@@ -117,3 +117,28 @@ def test_misc_converters():
     assert POP2REGION["CEU"] == "WestEurasia"
     from bgt_tpu.misc.vep2sql import reg2bin
     assert reg2bin(0, 1) == ((1 << 15) - 1) // 7
+
+
+def test_gtcshard_cli(tmp_path):
+    import io
+    import numpy as np
+    from bgt_tpu import cli, testing
+    from bgt_tpu.query import importer
+    from bgt_tpu.ops.tiles import TileStore
+    vcf = testing.random_vcf(n_samples=40, n_sites=60, seed=51)
+    (tmp_path / "in.vcf").write_text(vcf)
+    importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+    buf = io.StringIO()
+    rc = cli.main_gtcshard([str(tmp_path / "db"), "2", "8"], out=buf)
+    assert rc == 0
+    paths = buf.getvalue().splitlines()
+    assert len(paths) == 2
+    full = TileStore.open_or_build(str(tmp_path / "db"))
+    off = 0
+    for p in paths:
+        sh = TileStore.load(p)
+        assert sh.is_shard and sh.word_offset == off
+        assert np.array_equal(
+            sh.plane0, full.plane0[:, off: off + sh.plane0.shape[1]])
+        off += sh.plane0.shape[1]
