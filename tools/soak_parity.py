@@ -74,10 +74,61 @@ def ours_binary(args, cwd):
     return ret, h.hexdigest()
 
 
+def multi_db_iter(rng, seed, tmp: Path) -> None:
+    """2-3 databases with distinct cohorts, queried jointly (the bgtm
+    union-merge path, now a native k-way streaming merge)."""
+    n_db = rng.randint(2, 3)
+    names = []
+    for d in range(n_db):
+        n_samples = rng.randint(1, 40)
+        vcf = testing.random_vcf(
+            n_samples=n_samples, n_sites=rng.randint(20, 300),
+            seed=seed * 7 + d, p_multi=rng.choice([0.0, 0.4]),
+            p_indel=rng.choice([0.0, 0.3]),
+            p_missing=rng.choice([0.0, 0.1]),
+            sample_prefix=f"D{d}S")
+        (tmp / f"in{d}.vcf").write_text(vcf)
+        res = subprocess.run([str(REF), "import", "-S", f"ref{d}",
+                              f"in{d}.vcf"], cwd=tmp, capture_output=True)
+        if res.returncode != 0:
+            return
+        importer.import_vcf(str(tmp / f"our{d}"),
+                            [str(tmp / f"in{d}.vcf")], is_vcf=True)
+        names.append(d)
+    for q in range(4):
+        args = []
+        if rng.random() < 0.4:
+            lo = rng.randint(1, 100_000_000)
+            args += ["-r", f"11:{lo}-{lo + rng.randint(10_000, 60_000_000)}"]
+        if rng.random() < 0.4:
+            args += rng.choice([["-G"], ["-C"], ["-G", "-C"]])
+        if rng.random() < 0.3:
+            args += ["-f", rng.choice(["AC>0", "AN>2", "AC!=AN"])]
+        if rng.random() < 0.25:
+            args += ["-n", str(rng.randint(0, 200))]
+        ref = subprocess.run(
+            [str(REF), "view"] + args + [f"ref{d}" for d in names],
+            cwd=tmp, capture_output=True)
+        if ref.returncode != 0:
+            continue
+        buf = io.StringIO()
+        old = os.getcwd()
+        os.chdir(tmp)
+        try:
+            ret = main_view(args + [f"our{d}" for d in names], out=buf)
+        finally:
+            os.chdir(old)
+        assert ret == 0, (seed, args)
+        assert buf.getvalue() == ref.stdout.decode(),             (seed, args, "multi-db divergence")
+
+
 def one_iter(seed: int) -> None:
     rng = random.Random(seed)
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
+        if rng.random() < 0.25:
+            multi_db_iter(rng, seed, tmp)
+            return
         n_samples = rng.randint(1, 120)
         n_sites = rng.randint(20, 800)
         kw = dict(
