@@ -85,6 +85,12 @@ def open_bgt_cached(prefix: str) -> BgtFile:
     if bf is None:
         bf = BgtFile(path)
         _HANDLE_CACHE[key] = bf
+        # LRU bound: a long-lived process over many databases must not
+        # accumulate handles without limit
+        while len(_HANDLE_CACHE) > 64:
+            _HANDLE_CACHE.pop(next(iter(_HANDLE_CACHE)))
+    else:
+        _HANDLE_CACHE[key] = _HANDLE_CACHE.pop(key)
     return bf
 
 

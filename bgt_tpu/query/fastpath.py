@@ -179,9 +179,28 @@ class MergedSites:
         return self.alt_cat[o: o + int(self.alt_len[i])].decode("latin-1")
 
 
+def _lru_get(cache: dict, key):
+    hit = cache.get(key)
+    if hit is not None or key in cache:
+        cache[key] = cache.pop(key)  # refresh recency
+    return hit
+
+
+def _lru_put(cache: dict, key, val, cap: int) -> None:
+    cache[key] = val
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
+
+
+# Per-database caches are LRU-bounded: a long-lived process serving many
+# databases must not accumulate memmap file descriptors / device buffers
+# without bound (a 12k-database fuzz run hit EMFILE before these caps).
 _SITE_CACHE: dict = {}
 _TILE_CACHE: dict = {}
 _DEVICE_CACHE: dict = {}
+_SITE_CAP = 64
+_TILE_CAP = 32
+_DEVICE_CAP = 8
 # (db_key, masks bytes) -> full-range (n_rows, groups, 4) int32 host counts.
 # One device pass + one readback per distinct mask set per database; repeat
 # queries (server workloads, paging) then never touch the device.
@@ -201,19 +220,19 @@ def _cache_key(bf: engine.BgtFile):
 
 def get_site_table(bf: engine.BgtFile) -> SiteTable:
     key = _cache_key(bf)
-    st = _SITE_CACHE.get(key)
+    st = _lru_get(_SITE_CACHE, key)
     if st is None:
         st = SiteTable(bf.prefix, bf.h0)
-        _SITE_CACHE[key] = st
+        _lru_put(_SITE_CACHE, key, st, _SITE_CAP)
     return st
 
 
 def get_tiles(bf: engine.BgtFile) -> TileStore:
     key = _cache_key(bf)
-    ts = _TILE_CACHE.get(key)
+    ts = _lru_get(_TILE_CACHE, key)
     if ts is None:
         ts = TileStore.open_or_build(bf.prefix)
-        _TILE_CACHE[key] = ts
+        _lru_put(_TILE_CACHE, key, ts, _TILE_CAP)
     return ts
 
 
@@ -318,12 +337,12 @@ def get_device_tiles(bf: engine.BgtFile) -> DeviceTiles | None:
     (queries then stream row chunks through the device instead)."""
     key = _cache_key(bf)
     if key in _DEVICE_CACHE:
-        return _DEVICE_CACHE[key]
+        return _lru_get(_DEVICE_CACHE, key)
     ts = get_tiles(bf)
     dt = None
     if ts.plane0.nbytes * 2 <= _hbm_budget():
         dt = DeviceTiles(ts)
-    _DEVICE_CACHE[key] = dt
+    _lru_put(_DEVICE_CACHE, key, dt, _DEVICE_CAP)
     return dt
 
 
