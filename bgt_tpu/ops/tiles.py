@@ -61,14 +61,47 @@ class TileStore:
         self.is_shard = n_words_global is not None
         self.word_offset = word_offset
         self.word_limit = word_offset + plane0.shape[1]
-        self.plane0 = plane0
-        self.plane1 = plane1
+        self._plane0 = plane0
+        self._plane1 = plane1
+        self._map_spec = None  # (path, hdr_bytes) when memmap-backed
         # (n_rows, 4) int32 counts of codes 0..3 over all m columns — the
         # materialized aggregate behind all-samples AC/AN queries (the
         # reference recounts per query, bgt.c:735-757)
         if rowstats is None and self.is_shard:
             raise ValueError("shard stores carry the global rowstats")
         self.rowstats = rowstats if rowstats is not None else self._calc_rowstats()
+
+    @property
+    def plane0(self) -> np.ndarray:
+        if self._plane0 is None:
+            self._remap()
+        return self._plane0
+
+    @property
+    def plane1(self) -> np.ndarray:
+        if self._plane1 is None:
+            self._remap()
+        return self._plane1
+
+    def _remap(self) -> None:
+        """Re-open the mapped planes after :meth:`release`."""
+        path, hdr = self._map_spec
+        local_words = self.word_limit - self.word_offset
+        plane_elems = self.n_rows * local_words
+        data = np.memmap(path, dtype=np.uint32, mode="r", offset=hdr,
+                         shape=(2 * plane_elems,))
+        self._plane0 = data[:plane_elems].reshape(self.n_rows, local_words)
+        self._plane1 = data[plane_elems:].reshape(self.n_rows, local_words)
+
+    def release(self) -> None:
+        """Drop this store's references to the mapped planes (LRU eviction).
+
+        The mapping — and the file descriptor mmap dups internally — is then
+        freed as soon as the last in-flight view dies, instead of waiting for
+        the TileStore object itself to be collected; a straggler that still
+        holds the store (not a view) transparently remaps on next access."""
+        if self._map_spec is not None:
+            self._plane0 = self._plane1 = None
 
     def _calc_rowstats(self) -> np.ndarray:
         n10 = np.bitwise_count(self.plane0).sum(axis=1, dtype=np.int32)
@@ -239,6 +272,7 @@ class TileStore:
         else:
             ts = cls(n_rows, m, plane0, plane1, rowstats=stats)
         ts._path = path
+        ts._map_spec = (path, hdr)
         return ts
 
     def prefault(self) -> None:

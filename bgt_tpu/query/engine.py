@@ -61,6 +61,9 @@ class BgtFile:
 
 
 _HANDLE_CACHE: dict = {}
+# the server is a ThreadingHTTPServer: refresh/evict on the shared handle
+# cache must not race another request thread's eviction of the same key
+_HANDLE_LOCK = __import__("threading").RLock()
 
 
 def open_bgt_cached(prefix: str) -> BgtFile:
@@ -81,16 +84,21 @@ def open_bgt_cached(prefix: str) -> BgtFile:
             return 0
 
     key = (path, mt(path + ".bcf"), mt(path + ".spl"), mt(path + ".bcf.csi"))
-    bf = _HANDLE_CACHE.get(key)
-    if bf is None:
-        bf = BgtFile(path)
+    with _HANDLE_LOCK:
+        bf = _HANDLE_CACHE.get(key)
+        if bf is not None:
+            _HANDLE_CACHE[key] = _HANDLE_CACHE.pop(key)
+            return bf
+    # build outside the lock (parsing a big .spl can take a while); a racing
+    # duplicate build is harmless — last one in wins, the loser is collected
+    bf = BgtFile(path)
+    with _HANDLE_LOCK:
         _HANDLE_CACHE[key] = bf
         # LRU bound: a long-lived process over many databases must not
-        # accumulate handles without limit
+        # accumulate handles without limit (BgtFile holds no open fds, so
+        # dropping the reference is a complete release)
         while len(_HANDLE_CACHE) > 64:
             _HANDLE_CACHE.pop(next(iter(_HANDLE_CACHE)))
-    else:
-        _HANDLE_CACHE[key] = _HANDLE_CACHE.pop(key)
     return bf
 
 
@@ -983,6 +991,11 @@ class BgtmReader:
         ks_introsort tie order byte-for-byte."""
         if self.hap is None or self.n_out == 0:
             return ""
+        if len(self.aal) > 64:
+            import sys
+            print(f"[W::hapcnt] {len(self.aal)} alleles exceed the 64-bit "
+                  "haplotype mask; bit columns alias modulo 64 (matching the "
+                  "reference's 1ULL<<n overflow on x86)", file=sys.stderr)
         u, first, inv = np.unique(self.hap, return_index=True,
                                   return_inverse=True)
         n = u.size

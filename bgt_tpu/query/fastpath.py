@@ -179,17 +179,33 @@ class MergedSites:
         return self.alt_cat[o: o + int(self.alt_len[i])].decode("latin-1")
 
 
+import threading
+
+# One lock guards every module-level cache: the server is a
+# ThreadingHTTPServer, and an unlocked refresh/evict pair (get then pop)
+# can race another thread's eviction of the same key (KeyError -> 500).
+_CACHE_LOCK = threading.RLock()
+
+
 def _lru_get(cache: dict, key):
-    hit = cache.get(key)
-    if hit is not None or key in cache:
-        cache[key] = cache.pop(key)  # refresh recency
-    return hit
+    with _CACHE_LOCK:
+        hit = cache.get(key)
+        if hit is not None or key in cache:
+            cache[key] = cache.pop(key)  # refresh recency
+        return hit
 
 
 def _lru_put(cache: dict, key, val, cap: int) -> None:
-    cache[key] = val
-    while len(cache) > cap:
-        cache.pop(next(iter(cache)))
+    with _CACHE_LOCK:
+        cache[key] = val
+        while len(cache) > cap:
+            evicted = cache.pop(next(iter(cache)))
+            closer = getattr(evicted, "release", None)
+            if closer is not None:
+                try:
+                    closer()
+                except Exception:  # noqa: BLE001 - best-effort fd release
+                    pass
 
 
 # Per-database caches are LRU-bounded: a long-lived process serving many
@@ -598,8 +614,11 @@ class _DbCtx:
             rid = ctg_ids.get(c[0])
             if rid is None:
                 continue
-            # site pos (0-based) = key pos (1-based) - 1 - shift,
-            # shift ∈ [0, ref_len)
+            # canonical key pos is 0-based (al_parse does int(s)-1;
+            # al_from_bcf uses b.pos): site pos = kpos - shift with
+            # shift ∈ [0, ref_len), so candidates live in
+            # (kpos - window, kpos]; the probe below over-covers by one on
+            # the left, which is safe — the exact key check follows
             base = rid << 40
             lo = int(np.searchsorted(comp, base + (kpos - 1 - window)))
             hi = int(np.searchsorted(comp, base + kpos, side="right"))
@@ -702,7 +721,8 @@ class _DbCtx:
             counts = host_counts(ts, np.arange(ts.n_rows) if memo_ok else rows,
                                  masks)
             if memo_ok:
-                _COUNT_MEMO[memo_key] = counts
+                with _CACHE_LOCK:
+                    _COUNT_MEMO[memo_key] = counts
                 return counts[rows]
             return counts
         start = int(rows[0])
@@ -727,10 +747,11 @@ class _DbCtx:
                 dt.p0, dt.p1, jnp.asarray(masks), start, length))
         if memo_ok:
             full = counts[:ts.n_rows]
-            while (sum(v.nbytes for v in _COUNT_MEMO.values()) + full.nbytes
-                   > _COUNT_MEMO_BYTES and _COUNT_MEMO):
-                _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
-            _COUNT_MEMO[memo_key] = full
+            with _CACHE_LOCK:
+                while (sum(v.nbytes for v in _COUNT_MEMO.values())
+                       + full.nbytes > _COUNT_MEMO_BYTES and _COUNT_MEMO):
+                    _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
+                _COUNT_MEMO[memo_key] = full
             return full[rows]
         return counts[rows - start]
 
