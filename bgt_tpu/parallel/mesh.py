@@ -91,6 +91,43 @@ def sharded_count_range_fn(mesh: Mesh):
     return call
 
 
+def sharded_pairs_rows_fn(mesh: Mesh):
+    """(p0, p1, rows) -> (len(rows), words*16) uint8 diploid GT pair indices
+    (code0*4 + code1), replicated on every host.
+
+    The production caller behind GT-emitting queries on ``.gtc.shard``
+    stores: each device decodes its own column slice for the requested rows,
+    an ``all_gather`` over the sample axis reassembles the full genotype row
+    (the collective replacing the reference's in-process memcpy merge,
+    bgt.c:829-842), and the pair indices are formed on device so the
+    readback is one byte per sample per site.  Compiled once per row-count
+    bucket; ``rows`` is a replicated int32 index vector (pad to a bucket
+    with repeats of row 0 and slice the result)."""
+    cache: dict = {}
+
+    def call(p0, p1, rows_idx):
+        n = int(rows_idx.shape[0])
+        fn = cache.get(n)
+        if fn is None:
+            def _pairs(p0, p1, rows):
+                l0 = jnp.take(p0, rows, axis=0)
+                l1 = jnp.take(p1, rows, axis=0)
+                codes = counts_ops.decode_codes(l0, l1)
+                full = jax.lax.all_gather(codes, SAMPLE_AXIS, axis=1,
+                                          tiled=True)
+                return (full[:, 0::2] << 2) | full[:, 1::2]
+
+            fn = jax.jit(shard_map(
+                _pairs, mesh=mesh,
+                in_specs=(P(None, SAMPLE_AXIS), P(None, SAMPLE_AXIS), P()),
+                out_specs=P(None), check_vma=False,
+            ))
+            cache[n] = fn
+        return fn(p0, p1, rows_idx)
+
+    return call
+
+
 def sharded_gather_codes_fn(mesh: Mesh):
     """jitted (p0, p1) -> (rows, words*32) uint8 codes, all-gathered."""
 

@@ -385,6 +385,26 @@ def stream_counts(ts: TileStore, rows: np.ndarray, masks: np.ndarray,
     return np.concatenate([np.asarray(c) for c in pending], axis=0)
 
 
+def _planes_from_pairs(pairs: np.ndarray):
+    """Repack a (sites, samples) GT pair matrix (code0*4+code1) into packed
+    2-bit planes over the output columns only, plus the identity column
+    list — the shape the native BCF serializer consumes.  Bridges mesh-
+    gathered genotypes (shard stores) into the plane-reading emitters."""
+    n, n_out = pairs.shape
+    codes = np.empty((n, n_out * 2), dtype=np.uint8)
+    codes[:, 0::2] = pairs >> 2
+    codes[:, 1::2] = pairs & 3
+    nbytes = (n_out * 2 + 31) // 32 * 4
+    b0 = np.packbits(codes & 1, axis=1, bitorder="little")
+    b1 = np.packbits(codes >> 1, axis=1, bitorder="little")
+    p0 = np.zeros((n, nbytes), np.uint8)
+    p1 = np.zeros((n, nbytes), np.uint8)
+    p0[:, : b0.shape[1]] = b0
+    p1[:, : b1.shape[1]] = b1
+    return (p0.view(np.uint32), p1.view(np.uint32),
+            np.arange(n_out * 2, dtype=np.int64))
+
+
 def _bucket(n: int, cap: int) -> int:
     b = 1024
     while b < n:
@@ -418,6 +438,7 @@ class ShardContext:
                      else meshlib.make_mesh())
         self.n_dev = self.mesh.devices.size
         self.count_range = meshlib.sharded_count_range_fn(self.mesh)
+        self.pairs_rows = meshlib.sharded_pairs_rows_fn(self.mesh)
         self._planes: dict = {}
 
     def _place(self, arr: np.ndarray, words: int):
@@ -765,8 +786,38 @@ class _DbCtx:
         """
         if rows.size == 0 or cols.size == 0:
             return np.zeros((rows.size, cols.size // 2), dtype=np.uint8)
+        if self.ts.is_shard:
+            return self._pairs_sharded(rows, cols)
         codes = self.ts.codes(rows, cols)
         return (codes[:, 0::2] << 2) | codes[:, 1::2]
+
+    def _pairs_sharded(self, rows: np.ndarray, cols: np.ndarray,
+                       chunk_rows: int = 2048) -> np.ndarray:
+        """GT pair assembly when this process holds only a column-slice
+        shard: decode + all_gather over the sample-axis mesh
+        (mesh.sharded_pairs_rows_fn), then subset the replicated pair matrix
+        to the requested output samples.  The multi-host GT-output seam of
+        SURVEY §7.5 ("GT gather via all_gather only when genotype output is
+        requested"); replaces the former hard error (VERDICT r3 missing #1).
+        """
+        import jax.numpy as jnp
+        sharding = get_shard_context()
+        if sharding is None:
+            raise ValueError(
+                "column-shard tile store but no device mesh: GT-emitting "
+                "queries on shards need the multi-process mesh path")
+        p0, p1, _words, n_rows = sharding.planes(self)
+        samples = np.asarray(cols[0::2] // 2, dtype=np.int64)
+        out = np.empty((rows.size, samples.size), dtype=np.uint8)
+        for lo in range(0, rows.size, chunk_rows):
+            sl = rows[lo: lo + chunk_rows]
+            n = _bucket(int(sl.size), chunk_rows)
+            idx = np.zeros(n, dtype=np.int32)
+            idx[: sl.size] = sl
+            pairs_full = np.asarray(
+                sharding.pairs_rows(p0, p1, jnp.asarray(idx)))
+            out[lo: lo + sl.size] = pairs_full[: sl.size][:, samples]
+        return out
 
 
 class FastView:
@@ -1200,8 +1251,11 @@ class FastView:
                 mgs_off += m
             from .. import native
             if (len(self.dbs) == 1 and per_db_cols[0].size
+                    and not self.dbs[0].ts.is_shard
                     and native.get_lib() is not None):
                 # zero-copy dump: the native emitter reads the packed planes
+                # (a shard store holds only local columns — its GT goes
+                # through the mesh all_gather in pairs_for instead)
                 gt_planes_spec = (self.dbs[0], per_db_cols[0])
 
             def gt_codes_fn(msel: np.ndarray) -> np.ndarray:
@@ -1425,7 +1479,12 @@ class FastView:
             if cols.size:
                 ts = ctx.ts
                 rows = mv.pres[sel, 0]
-                if (rows.size == ts.n_rows and rows.size
+                if ts.is_shard:
+                    # mesh all_gather assembles the pairs; repack them into
+                    # dense output-column planes for the native serializer
+                    gt_planes = _planes_from_pairs(
+                        ctx.pairs_for(rows, cols))
+                elif (rows.size == ts.n_rows and rows.size
                         and rows[0] == 0 and rows[-1] == ts.n_rows - 1):
                     gt_planes = (ts.plane0, ts.plane1, cols)
                 else:

@@ -132,6 +132,25 @@ assert stores and all(ts.is_shard for ts in stores), "full tile was opened"
 assert stores[0].word_offset == (0 if pid == 0 else stores[0].n_words // 2)
 with open(f"shard_out_{pid}.vcf", "w") as fp:
     fp.write(buf.getvalue())
+# GT-emitting queries assemble genotypes through the mesh all_gather
+# (sharded_pairs_rows_fn) — full dump and a subset (VERDICT r3 missing #1,
+# reference merge-gather seam bgt.c:829-842)
+buf = _io.StringIO()
+assert main_view(["-C", "db"], out=buf) == 0
+with open(f"shard_gt_{pid}.vcf", "w") as fp:
+    fp.write(buf.getvalue())
+buf = _io.StringIO()
+assert main_view(["-C", "-s", ",S0001,S0003,S0004", "db"], out=buf) == 0
+with open(f"shard_gtsub_{pid}.vcf", "w") as fp:
+    fp.write(buf.getvalue())
+class _BinOut:  # .buffer duck-type for the -b binary stream
+    def __init__(self): self.buffer = _io.BytesIO()
+    def write(self, s): self.buffer.write(s.encode("latin-1"))
+    def flush(self): pass
+bo = _BinOut()
+assert main_view(["-b", "-C", "db"], out=bo) == 0
+with open(f"shard_gt_{pid}.bcf", "wb") as fp:
+    fp.write(bo.buffer.getvalue())
 print("proc", pid, "ok", flush=True)
 """
 
@@ -157,6 +176,31 @@ def test_two_process_shard_files_byte_parity(tmp_path):
     finally:
         os.chdir(old)
     want = buf.getvalue()
+    buf = io.StringIO()
+    os.chdir(tmp_path)
+    try:
+        assert main_view(["-C", "db"], out=buf) == 0
+        want_gt = buf.getvalue()
+        buf = io.StringIO()
+        assert main_view(["-C", "-s", ",S0001,S0003,S0004", "db"],
+                         out=buf) == 0
+        want_gtsub = buf.getvalue()
+
+        class _BinOut:
+            def __init__(self):
+                self.buffer = io.BytesIO()
+
+            def write(self, s):
+                self.buffer.write(s.encode("latin-1"))
+
+            def flush(self):
+                pass
+
+        bo = _BinOut()
+        assert main_view(["-b", "-C", "db"], out=bo) == 0
+        want_bcf = bo.buffer.getvalue()
+    finally:
+        os.chdir(old)
 
     TileStore.emit_shards(str(tmp_path / "db"), n_proc=2, n_dev_total=8)
     (tmp_path / "db.gtc").unlink()  # children cannot fall back to the full tile
@@ -185,3 +229,12 @@ def test_two_process_shard_files_byte_parity(tmp_path):
         assert rc == 0, err[-3000:]
     assert (tmp_path / "shard_out_0.vcf").read_text() == want
     assert (tmp_path / "shard_out_1.vcf").read_text() == want
+    # GT-emitting output must be byte-identical on both hosts, assembled
+    # from column-slice shards only (mesh all_gather)
+    assert (tmp_path / "shard_gt_0.vcf").read_text() == want_gt
+    assert (tmp_path / "shard_gt_1.vcf").read_text() == want_gt
+    assert (tmp_path / "shard_gtsub_0.vcf").read_text() == want_gtsub
+    assert (tmp_path / "shard_gtsub_1.vcf").read_text() == want_gtsub
+    # binary BCF output through the repacked-plane serializer, same bytes
+    assert (tmp_path / "shard_gt_0.bcf").read_bytes() == want_bcf
+    assert (tmp_path / "shard_gt_1.bcf").read_bytes() == want_bcf

@@ -183,3 +183,20 @@ def test_emit_shards_rejects_too_wide_mesh(tmp_path):
     make_pbf(tmp_path / "db.pbf", codes)
     with pytest.raises(ValueError, match="wider"):
         TileStore.emit_shards(str(tmp_path / "db"), n_proc=64, n_dev_total=64)
+
+
+def test_planes_from_pairs_roundtrip():
+    """The shard-GT repack adapter (mesh-gathered pairs -> dense planes for
+    the native BCF serializer) must decode back to the same pair matrix."""
+    import numpy as np
+    from bgt_tpu.query.fastpath import _planes_from_pairs
+
+    rng = np.random.default_rng(7)
+    pairs = rng.integers(0, 16, size=(23, 37), dtype=np.uint8)
+    p0, p1, cols = _planes_from_pairs(pairs)
+    assert cols.tolist() == list(range(37 * 2))
+    b0 = np.unpackbits(p0.view(np.uint8), axis=1, bitorder="little")
+    b1 = np.unpackbits(p1.view(np.uint8), axis=1, bitorder="little")
+    codes = ((b1 << 1) | b0)[:, : 37 * 2]
+    back = (codes[:, 0::2] << 2) | codes[:, 1::2]
+    assert np.array_equal(back, pairs)
