@@ -55,6 +55,10 @@ class BgzfWriter:
     mt writer which is also not seek-accurate mid-stream).
     """
 
+    # segment size for the native compressor: 256 blocks per call amortizes
+    # the call overhead and gives every worker thread a full queue
+    _NATIVE_SEG = BLOCK_SIZE * 256
+
     def __init__(self, path_or_fp, level: int = -1, threads: int = 1):
         if hasattr(path_or_fp, "write"):
             self._fp = path_or_fp
@@ -67,18 +71,77 @@ class BgzfWriter:
         self._block_address = 0  # compressed offset of the block being filled
         self._pool = None
         self._pending = None
+        self._native = None
+        self._squeue = None
         if threads > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            from collections import deque
-            self._pool = ThreadPoolExecutor(max_workers=threads)
-            self._pending = deque()
-            self._max_pending = threads * 8
+            from .. import native
+            if native.get_lib() is not None:
+                # C thread-pool deflate (same zlib parameters, same bytes),
+                # pipelined: a single background worker compresses and
+                # writes segments in order while the producer keeps
+                # assembling records (2-stage pipeline; the reference's
+                # bgzf_mt pool overlaps the same way, bgzf.c:381-535)
+                import queue
+                self._native = native
+                self._threads = threads
+                self._squeue = queue.Queue(maxsize=3)
+                self._swriter_exc = []
+                import threading as _threading
+                self._swriter = _threading.Thread(
+                    target=self._segment_worker, daemon=True,
+                    name="bgzf-deflate")
+                self._swriter.start()
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                from collections import deque
+                self._pool = ThreadPoolExecutor(max_workers=threads)
+                self._pending = deque()
+                self._max_pending = threads * 8
 
     def write(self, data) -> int:
         self._buf += data
+        if self._native is not None:
+            while len(self._buf) >= self._NATIVE_SEG:
+                self._flush_native(final=False)
+            return len(data)
         while len(self._buf) >= BLOCK_SIZE:
             self._flush_one(BLOCK_SIZE)
         return len(data)
+
+    def _segment_worker(self) -> None:
+        while True:
+            payload = self._squeue.get()
+            if payload is None:
+                return
+            try:
+                out = self._native.bgzf_deflate(payload, self._level,
+                                                self._threads)
+                if out is None:
+                    raise RuntimeError("native bgzf deflate failed")
+                self._fp.write(memoryview(out))
+                self._block_address += out.size
+            except BaseException as e:  # noqa: BLE001 - surfaced at flush
+                self._swriter_exc.append(e)
+                # keep draining so the producer's bounded put never blocks
+                while self._squeue.get() is not None:
+                    pass
+                return
+
+    def _flush_native(self, final: bool) -> None:
+        n = len(self._buf) if final else \
+            (len(self._buf) // BLOCK_SIZE) * BLOCK_SIZE
+        if self._swriter_exc:
+            # a segment already failed mid-stream: the output is truncated
+            # at that segment, so silently continuing would corrupt it
+            raise self._swriter_exc[0]
+        if n:
+            self._squeue.put(bytes(memoryview(self._buf)[:n]))
+            del self._buf[:n]
+        if final:
+            self._squeue.put(None)
+            self._swriter.join()
+            if self._swriter_exc:
+                raise self._swriter_exc[0]
 
     def _drain(self, leave: int) -> None:
         while len(self._pending) > leave:
@@ -99,6 +162,9 @@ class BgzfWriter:
         self._block_address += len(blk)
 
     def flush(self) -> None:
+        if self._native is not None:
+            self._flush_native(final=True)
+            return
         while self._buf:
             self._flush_one(min(len(self._buf), BLOCK_SIZE))
         if self._pool is not None:

@@ -71,6 +71,10 @@ def get_lib():
     lib.bgt_emit_vcf_lines_mt.argtypes = (
         lib.bgt_emit_vcf_lines.argtypes
         + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p])
+    lib.bgt_bgzf_deflate.restype = ctypes.c_int64
+    lib.bgt_bgzf_deflate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     ctypes.c_void_p]
     lib.bgt_parse_gt_cells.restype = ctypes.c_int64
     lib.bgt_parse_gt_cells.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                        ctypes.c_int32, ctypes.c_void_p]
@@ -275,6 +279,31 @@ def emit_bcf_records(rid, pos, rlen, ref_cat, ref_off, ref_len,
         raise OSError("bcf emit buffer overflow")
     return [buf[int(chunk_offs[c]): int(chunk_offs[c] + chunk_lens[c])]
             for c in range(n_threads)]
+
+
+def bgzf_deflate(data, level: int, threads: int):
+    """Multithreaded BGZF block compression of ``data`` (bytes-like).
+
+    Returns a uint8 array holding the concatenated framed blocks (byte-
+    identical to the sequential zlib stream at the same level), or None when
+    the library is unavailable or deflate failed (caller falls back to the
+    Python pool).  The native equivalent of the reference's bgzf_mt write
+    pool (bgzf.c:381-535)."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    if src.size == 0:
+        return src.copy()
+    n_blocks = (src.size + 0xFEFF) // 0xFF00
+    out = np.empty(n_blocks * 0x10000, dtype=np.uint8)
+    n = lib.bgt_bgzf_deflate(
+        ctypes.c_void_p(src.ctypes.data), src.size, level, threads,
+        ctypes.c_void_p(out.ctypes.data))
+    if n < 0:
+        return None
+    return out[:n]
 
 
 def al_parse_batch(cat: bytes, off, lens):

@@ -1469,52 +1469,66 @@ class FastView:
 
     def _emit_bcf(self, writer, sel, mv: MergedSites, an, ac, ac_m,
                   gan, gac, gac_m, info_on, no_gt) -> None:
-        """Batched binary BCF record emission (single DB, native)."""
+        """Batched binary BCF record emission (single DB, native).
+
+        Records are serialized in ~48 MiB batches so the BGZF writer's
+        background deflate pipeline overlaps compression with assembly
+        (2-stage pipeline; a single monolithic emit call would leave the
+        compressor idle for its whole duration)."""
         from .. import native
         bm = self.bm
         ctx = self.dbs[0]
-        gt_planes = None
+        cols = None
         if not no_gt:
             cols = ctx.gt_cols(np.asarray(bm.mgs))
-            if cols.size:
-                ts = ctx.ts
-                rows = mv.pres[sel, 0]
-                if ts.is_shard:
-                    # mesh all_gather assembles the pairs; repack them into
-                    # dense output-column planes for the native serializer
-                    gt_planes = _planes_from_pairs(
-                        ctx.pairs_for(rows, cols))
-                elif (rows.size == ts.n_rows and rows.size
-                        and rows[0] == 0 and rows[-1] == ts.n_rows - 1):
-                    gt_planes = (ts.plane0, ts.plane1, cols)
-                else:
-                    gt_planes = (ts.plane0[rows], ts.plane1[rows], cols)
+            if not cols.size:
+                cols = None
         h = bm.h_out
         n_groups = bm.n_groups
         gan_ids = [h.id2int(bcflib.BCF_DT_ID, f"AN{g + 1}")
                    for g in range(n_groups)]
         gac_ids = [h.id2int(bcflib.BCF_DT_ID, f"AC{g + 1}")
                    for g in range(n_groups)]
-        end_val = np.where(mv.ref_len[sel] != mv.rlen[sel],
+        end_all = np.where(mv.ref_len[sel] != mv.rlen[sel],
                            mv.pos[sel] + mv.rlen[sel], -1)
-        data = native.emit_bcf_records(
-            mv.rid[sel], mv.pos[sel], mv.rlen[sel],
-            mv.ref_cat, mv.ref_off[sel], mv.ref_len[sel].astype(np.int32),
-            mv.alt_cat, mv.alt_off[sel], mv.alt_len[sel].astype(np.int32),
-            mv.n_allele[sel], end_val,
-            int(bool(info_on)), n_groups,
-            an[sel], ac[sel], ac_m[sel],
-            gan[sel] if gan is not None else None,
-            gac[sel] if gac is not None else None,
-            gac_m[sel] if gac_m is not None else None,
-            h.id2int(bcflib.BCF_DT_ID, "END"),
-            h.id2int(bcflib.BCF_DT_ID, "AN"),
-            h.id2int(bcflib.BCF_DT_ID, "AC"),
-            gan_ids, gac_ids,
-            h.id2int(bcflib.BCF_DT_ID, "GT"),
-            gt_planes)
-        for chunk in data:
-            writer.write(memoryview(chunk))
+        rec_bytes = 128 + (cols.size // 2 if cols is not None else 0)
+        batch = max(512, (48 << 20) // rec_bytes)
+        ts = ctx.ts
+        for lo in range(0, sel.size, batch):
+            bsel = sel[lo: lo + batch]
+            gt_planes = None
+            if cols is not None:
+                rows = mv.pres[bsel, 0]
+                if ts.is_shard:
+                    # mesh all_gather assembles the pairs; repack them into
+                    # dense output-column planes for the native serializer
+                    gt_planes = _planes_from_pairs(
+                        ctx.pairs_for(rows, cols))
+                elif (bsel.size == ts.n_rows and bsel.size
+                        and rows[0] == 0 and rows[-1] == ts.n_rows - 1):
+                    gt_planes = (ts.plane0, ts.plane1, cols)
+                else:
+                    gt_planes = (ts.plane0[rows], ts.plane1[rows], cols)
+            data = native.emit_bcf_records(
+                mv.rid[bsel], mv.pos[bsel], mv.rlen[bsel],
+                mv.ref_cat, mv.ref_off[bsel],
+                mv.ref_len[bsel].astype(np.int32),
+                mv.alt_cat, mv.alt_off[bsel],
+                mv.alt_len[bsel].astype(np.int32),
+                mv.n_allele[bsel], end_all[lo: lo + batch],
+                int(bool(info_on)), n_groups,
+                an[bsel], ac[bsel], ac_m[bsel],
+                gan[bsel] if gan is not None else None,
+                gac[bsel] if gac is not None else None,
+                gac_m[bsel] if gac_m is not None else None,
+                h.id2int(bcflib.BCF_DT_ID, "END"),
+                h.id2int(bcflib.BCF_DT_ID, "AN"),
+                h.id2int(bcflib.BCF_DT_ID, "AC"),
+                gan_ids, gac_ids,
+                h.id2int(bcflib.BCF_DT_ID, "GT"),
+                gt_planes)
+            for chunk in data:
+                writer.write(memoryview(chunk))
 
     def _truncate_server(self, mv: MergedSites, sel: np.ndarray,
                          max_gt: int | None, max_read: int | None):

@@ -150,9 +150,10 @@ def run_view(opt: ViewOptions, out=None, err=None) -> int:
             import os as _os
             raw = out.buffer if hasattr(out, "buffer") else out
             # pooled block compression (ordered writeback): same bytes,
-            # the reference's bgzf_mt equivalent (bgzf.c:381-535)
+            # the reference's bgzf_mt equivalent (bgzf.c:381-535) — native
+            # C thread pool when the library is present
             bgzf_out = BgzfWriter(raw, level,
-                                  threads=min(_os.cpu_count() or 1, 4))
+                                  threads=min(_os.cpu_count() or 1, 8))
             bm.h_out.write_bcf(bgzf_out)
         else:
             out.write(bm.h_out.vcf_text())

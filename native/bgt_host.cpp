@@ -24,6 +24,7 @@
 #include <vector>
 
 #include <algorithm>
+#include <atomic>
 #include <fcntl.h>
 #include <unistd.h>
 
@@ -1422,6 +1423,28 @@ int64_t bgt_emit_bcf_records(
     const int32_t* gt_cols, int64_t n_gt_pairs,
     char* out, int64_t cap) {
     static const char bits2gt[4] = {2, 4, 0, 6};
+    // identity-column fast path: LUT mapping (plane0 byte, plane1 byte) ->
+    // 8 GT bytes, one 64-bit store per 8 haplotype columns (the full-matrix
+    // dump's gt_cols are consecutive whenever no sample is MGS-suppressed)
+    static const uint64_t* kGtLut = [] {
+        uint64_t* t = new uint64_t[65536];
+        for (unsigned idx = 0; idx < 65536; ++idx) {
+            unsigned b0 = idx & 0xff, b1 = idx >> 8;
+            uint64_t v = 0;
+            for (int k = 0; k < 8; ++k) {
+                unsigned c = ((b0 >> k) & 1u) | (((b1 >> k) & 1u) << 1);
+                v |= (uint64_t)(uint8_t)bits2gt[c] << (8 * k);
+            }
+            t[idx] = v;
+        }
+        return t;
+    }();
+    bool cols_identity = true;
+    for (int64_t k = 0; k < 2 * n_gt_pairs; ++k)
+        if (gt_cols && gt_cols[k] != k) {
+            cols_identity = false;
+            break;
+        }
     char* p = out;
     char* lim = out + cap;
     for (int64_t i = 0; i < n; ++i) {
@@ -1478,15 +1501,33 @@ int64_t bgt_emit_bcf_records(
             p = benc_size(p, 2, 1);
             const uint32_t* r0 = gt_p0 + i * gt_words;
             const uint32_t* r1 = gt_p1 + i * gt_words;
-            for (int64_t s = 0; s < n_gt_pairs; ++s) {
-                uint32_t j0 = (uint32_t)gt_cols[2 * s];
-                uint32_t j1 = (uint32_t)gt_cols[2 * s + 1];
-                unsigned c0 = ((r0[j0 >> 5] >> (j0 & 31)) & 1u) |
-                              (((r1[j0 >> 5] >> (j0 & 31)) & 1u) << 1);
-                unsigned c1 = ((r0[j1 >> 5] >> (j1 & 31)) & 1u) |
-                              (((r1[j1 >> 5] >> (j1 & 31)) & 1u) << 1);
-                *p++ = bits2gt[c0];
-                *p++ = bits2gt[c1];
+            if (cols_identity) {
+                int64_t total = 2 * n_gt_pairs;
+                int64_t nb = total >> 3;
+                const uint8_t* b0 = (const uint8_t*)r0;
+                const uint8_t* b1 = (const uint8_t*)r1;
+                for (int64_t k = 0; k < nb; ++k) {
+                    uint64_t v =
+                        kGtLut[(unsigned)b0[k] | ((unsigned)b1[k] << 8)];
+                    memcpy(p, &v, 8);
+                    p += 8;
+                }
+                for (int64_t j = nb * 8; j < total; ++j) {
+                    unsigned c = ((r0[j >> 5] >> (j & 31)) & 1u) |
+                                 (((r1[j >> 5] >> (j & 31)) & 1u) << 1);
+                    *p++ = bits2gt[c];
+                }
+            } else {
+                for (int64_t s = 0; s < n_gt_pairs; ++s) {
+                    uint32_t j0 = (uint32_t)gt_cols[2 * s];
+                    uint32_t j1 = (uint32_t)gt_cols[2 * s + 1];
+                    unsigned c0 = ((r0[j0 >> 5] >> (j0 & 31)) & 1u) |
+                                  (((r1[j0 >> 5] >> (j0 & 31)) & 1u) << 1);
+                    unsigned c1 = ((r0[j1 >> 5] >> (j1 & 31)) & 1u) |
+                                  (((r1[j1 >> 5] >> (j1 & 31)) & 1u) << 1);
+                    *p++ = bits2gt[c0];
+                    *p++ = bits2gt[c1];
+                }
             }
         }
         int64_t l_indiv = p - indiv0;
@@ -2920,6 +2961,98 @@ void bgt_al_match(void* h, const int64_t* rows, int64_t n_sel,
         key.append((const char*)ref + shift, (size_t)(lr - shift));
         kinds[i] = s->keys.count(std::string_view(key)) ? 2 : 0;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multithreaded BGZF deflate: the write-side block compressor (the native
+// equivalent of the reference's pthread write pool, bgzf.c:381-535, which
+// `bgt view -b` itself never enables — its deflate is single-threaded).
+// Input is split into 0xff00-byte payloads; each worker owns a z_stream
+// (deflateReset per block) and writes its framed blocks into a fixed
+// 0x10000-byte slot; slots are then compacted in order.  Byte-identical to
+// zlib's streaming output at the same level (raw deflate, windowBits -15,
+// memLevel 8, default strategy — the reference's parameters).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Returns the total compressed length, or -1 on a deflate error.  `out`
+// must have capacity n_blocks(data) * 0x10000 where
+// n_blocks = ceil(len / 0xff00) (>=1 even for len==0 is NOT required:
+// len==0 produces 0 blocks and returns 0).
+int64_t bgt_bgzf_deflate(const uint8_t* data, int64_t len, int level,
+                         int n_threads, uint8_t* out) {
+    static const uint8_t kHdr[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
+                                     0,    0xff, 0x06, 0,    0x42, 0x43,
+                                     0x02, 0x00};
+    const int64_t kPayload = 0xff00, kSlot = 0x10000;
+    if (len <= 0) return 0;
+    int64_t n_blocks = (len + kPayload - 1) / kPayload;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > (int)n_blocks) n_threads = (int)n_blocks;
+    std::vector<int32_t> sizes(n_blocks, -1);
+    std::atomic<int64_t> next{0};
+    std::atomic<bool> failed{false};
+    auto work = [&]() {
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+            failed.store(true);
+            return;
+        }
+        for (;;) {
+            int64_t b = next.fetch_add(1);
+            if (b >= n_blocks || failed.load(std::memory_order_relaxed))
+                break;
+            const uint8_t* src = data + b * kPayload;
+            uint32_t n = (uint32_t)std::min(kPayload, len - b * kPayload);
+            uint8_t* dst = out + b * kSlot;
+            std::memcpy(dst, kHdr, 16);
+            deflateReset(&zs);
+            zs.next_in = const_cast<Bytef*>(src);
+            zs.avail_in = n;
+            zs.next_out = dst + 18;
+            zs.avail_out = (uInt)(kSlot - 18 - 8);
+            if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+                failed.store(true);
+                break;
+            }
+            uint32_t body = (uInt)(kSlot - 18 - 8) - zs.avail_out;
+            uint32_t bsize = body + 18 + 8;
+            dst[16] = (uint8_t)((bsize - 1) & 0xff);
+            dst[17] = (uint8_t)(((bsize - 1) >> 8) & 0xff);
+            uint32_t crc = crc32(0, src, n);
+            uint8_t* tail = dst + 18 + body;
+            tail[0] = (uint8_t)(crc & 0xff);
+            tail[1] = (uint8_t)((crc >> 8) & 0xff);
+            tail[2] = (uint8_t)((crc >> 16) & 0xff);
+            tail[3] = (uint8_t)((crc >> 24) & 0xff);
+            tail[4] = (uint8_t)(n & 0xff);
+            tail[5] = (uint8_t)((n >> 8) & 0xff);
+            tail[6] = (uint8_t)((n >> 16) & 0xff);
+            tail[7] = (uint8_t)((n >> 24) & 0xff);
+            sizes[b] = (int32_t)bsize;
+        }
+        deflateEnd(&zs);
+    };
+    if (n_threads == 1) {
+        work();
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(work);
+        for (auto& th : threads) th.join();
+    }
+    if (failed.load()) return -1;
+    // compact the fixed slots into a contiguous stream (ordered writeback)
+    int64_t w = sizes[0];
+    for (int64_t b = 1; b < n_blocks; ++b) {
+        std::memmove(out + w, out + b * kSlot, (size_t)sizes[b]);
+        w += sizes[b];
+    }
+    return w;
 }
 
 }  // extern "C"
