@@ -237,6 +237,29 @@ def bench_config(ref_bgt: str, name: str, extra: dict) -> float | None:
     ex["import_ours_s"] = meta.get("import_ours_s")
     ex["import_ref_s"] = meta.get("import_ref_s")
 
+    if name == PRIMARY:
+        # --- BCF-format input import (native BCF front-end; both engines
+        # are PBWT-encode-bound here, unlike the text-parse-bound path) ---
+        from bgt_tpu.query import importer as _imp
+        bcf_in = d / "in_gt.bcf"
+        if not bcf_in.exists():
+            with open(bcf_in, "wb") as fp:
+                subprocess.run([ref_bgt, "view", "-b", "-C", "refdb"],
+                               cwd=d, stdout=fp, check=True)
+        t0 = time.time()
+        subprocess.run([ref_bgt, "import", "refdb_b", "in_gt.bcf"], cwd=d,
+                       check=True, capture_output=True)
+        ex["import_bcf_ref_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _imp.import_vcf(str(d / "ourdb_b"), [str(bcf_in)])
+        ex["import_bcf_ours_s"] = round(time.time() - t0, 2)
+        ex["parity_import_bcf"] = (
+            (d / "ourdb_b.pbf").read_bytes()
+            == (d / "refdb_b.pbf").read_bytes())
+        log(f"[{name}] BCF-input import: ours {ex['import_bcf_ours_s']}s vs "
+            f"ref {ex['import_bcf_ref_s']}s, parity "
+            f"{ex['parity_import_bcf']}")
+
     # --- parity gate: full view -GC stream ---
     want = ref_md5(ref_bgt, d, ["-G", "-C"], "md5-gc.txt")
     got = ours_md5(d, ["-G", "-C"])

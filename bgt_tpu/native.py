@@ -71,6 +71,26 @@ def get_lib():
     lib.bgt_emit_vcf_lines_mt.argtypes = (
         lib.bgt_emit_vcf_lines.argtypes
         + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p])
+    lib.bgt_import_open.restype = ctypes.c_void_p
+    lib.bgt_import_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.c_char_p, ctypes.c_int64,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    ctypes.c_int32, ctypes.c_int32]
+    lib.bgt_import_add_text.restype = ctypes.c_int32
+    lib.bgt_import_add_text.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_int32,
+                                        ctypes.c_char_p, ctypes.c_void_p,
+                                        ctypes.c_int32, ctypes.c_int32,
+                                        ctypes.c_int32, ctypes.c_int32]
+    lib.bgt_import_add_bcf.restype = ctypes.c_int32
+    lib.bgt_import_add_bcf.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_void_p, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_int32]
+    lib.bgt_import_finish.restype = ctypes.c_void_p
+    lib.bgt_import_finish.argtypes = [ctypes.c_void_p]
+    lib.bgt_import_abort.restype = None
+    lib.bgt_import_abort.argtypes = [ctypes.c_void_p]
     lib.bgt_bgzf_deflate.restype = ctypes.c_int64
     lib.bgt_bgzf_deflate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_int32, ctypes.c_int32,
@@ -633,6 +653,13 @@ def import_text(vcf_path: str, pbf_path: str, bcf_path: str,
         fnames, fids.ctypes.data_as(ctypes.c_void_p), fids.size,
         n_samples, int(keep_flt), clevel, row_kid,
         int(end_defined), int(cigar_defined), shift)
+    return _import_result(lib, h)
+
+
+def _import_result(lib, h):
+    """Unpack + free an ImportResult handle -> (n, rid, pos, end, voff,
+    voff0) or None."""
+    import numpy as np
     if not h:
         return None
     try:
@@ -657,6 +684,55 @@ def import_text(vcf_path: str, pbf_path: str, bcf_path: str,
                 arr(p_end, np.int64), arr(p_voff, np.uint64), int(voff0))
     finally:
         lib.bgt_import_free(h)
+
+
+def import_open(pbf_path: str, bcf_path: str, bcf_hdr_blob: bytes,
+                n_samples: int, clevel: int, row_kid: int, shift: int):
+    """Open a native import job (shared writers across input files);
+    returns an opaque handle or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.bgt_import_open(pbf_path.encode(), bcf_path.encode(),
+                            bcf_hdr_blob, len(bcf_hdr_blob), n_samples,
+                            clevel, row_kid, shift)
+    return h or None
+
+
+def import_add_text(job, vcf_path: str, contigs: list[str],
+                    filters: list[tuple[str, int]], keep_flt: bool,
+                    end_defined: bool, cigar_defined: bool) -> bool:
+    import numpy as np
+    lib = get_lib()
+    contigs_cat = b"\x00".join(c.encode("latin-1") for c in contigs) + b"\x00"
+    fnames = b"\x00".join(f.encode("latin-1") for f, _ in filters) + b"\x00"
+    fids = np.array([i for _, i in filters], dtype=np.int32)
+    return lib.bgt_import_add_text(
+        job, vcf_path.encode(), contigs_cat, len(contigs), fnames,
+        fids.ctypes.data_as(ctypes.c_void_p), fids.size, int(keep_flt),
+        int(end_defined), int(cigar_defined)) == 0
+
+
+def import_add_bcf(job, bcf_path: str, rid_map, gt_kid: int,
+                   cigar_kid: int, pass_fid: int, keep_flt: bool) -> bool:
+    import numpy as np
+    lib = get_lib()
+    rm = np.ascontiguousarray(rid_map, dtype=np.int32)
+    return lib.bgt_import_add_bcf(
+        job, bcf_path.encode(), ctypes.c_void_p(rm.ctypes.data), rm.size,
+        gt_kid, cigar_kid, pass_fid, int(keep_flt)) == 0
+
+
+def import_abort(job) -> None:
+    """Poison the job so finish removes the partial outputs."""
+    get_lib().bgt_import_abort(job)
+
+
+def import_finish(job):
+    """Finalize the job; returns the import_text-style result tuple or None
+    (partial outputs removed natively on failure)."""
+    lib = get_lib()
+    return _import_result(lib, lib.bgt_import_finish(job))
 
 
 def merge_sites(dbs, rows_per_db):

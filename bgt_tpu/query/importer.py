@@ -44,11 +44,21 @@ def build_bcf_index(fn: str, min_shift: int = 14) -> None:
     idx.save(fn)
 
 
-def _native_import(prefix: str, vcf_path: str, h, h0, keep_filtered: bool,
-                   clevel: int, n_samples: int) -> int | None:
-    """One-pass native import (parse+atomize+write in C++); returns n rows
-    or None when the native path is unavailable/inapplicable (caller falls
-    back to the Python pipeline; partial outputs are removed natively)."""
+def _ht_type(hdr, key: str) -> int:
+    ii = hdr.dicts[bcflib.BCF_DT_ID].get(key)
+    if ii is None or ii.info[bcflib.BCF_HL_INFO] == 15:
+        return -1
+    return (ii.info[bcflib.BCF_HL_INFO] >> 4) & 0xF
+
+
+def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
+                   first_text: bool, h, h0, keep_filtered: bool, clevel: int,
+                   n_samples: int) -> int | None:
+    """One-pass native import (parse+atomize+write in C++) over any mix of
+    text-VCF and binary-BCF inputs, appended in order (reference
+    import.c:45,85-109); returns n rows or None when the native path is
+    unavailable/inapplicable (caller falls back to the Python pipeline;
+    partial outputs are removed natively)."""
     import os
 
     from .. import native
@@ -57,22 +67,59 @@ def _native_import(prefix: str, vcf_path: str, h, h0, keep_filtered: bool,
     data = h0.raw[: h0.l_text].encode("latin-1")
     import struct
     blob = b"BCF\x02\x02" + struct.pack("<i", len(data)) + data
-    contigs = [name for name, _ in h.ids[bcflib.BCF_DT_CTG]]
-    filters = [(name, ii.id) for name, ii in h.ids[bcflib.BCF_DT_ID]]
-
-    def _ht(key):
-        ii = h.dicts[bcflib.BCF_DT_ID].get(key)
-        if ii is None or ii.info[bcflib.BCF_HL_INFO] == 15:
-            return -1
-        return (ii.info[bcflib.BCF_HL_INFO] >> 4) & 0xF
-
     row_kid = h0.id2int(bcflib.BCF_DT_ID, "_row")
-    res = native.import_text(
-        vcf_path, f"{prefix}.pbf", f"{prefix}.bcf", blob, contigs, filters,
-        n_samples, keep_filtered, clevel, row_kid,
-        _ht("END") == bcflib.BCF_HT_INT, _ht("CIGAR") == bcflib.BCF_HT_STR,
-        PBF_SHIFT)
-    if res is None:
+    job = native.import_open(f"{prefix}.pbf", f"{prefix}.bcf", blob,
+                             n_samples, clevel, row_kid, PBF_SHIFT)
+    if job is None:
+        return None
+    # the output header's contig order (identical to the first input's):
+    # text records resolve contigs by NAME against this list; BCF records
+    # remap their file-local rid through it
+    out_ctg = {name: i for i, (name, _ii)
+               in enumerate(h0.ids[bcflib.BCF_DT_CTG])}
+    out_contigs = [name for name, _ii in h0.ids[bcflib.BCF_DT_CTG]]
+    ok = True
+    for j, fn in enumerate(inputs):
+        if j == 0:
+            src_h, src_text = h, first_text
+        else:
+            try:
+                src = files.open_vcf(fn, is_vcf)
+            except (OSError, ValueError):
+                ok = False
+                break
+            src_h = src.header
+            src_text = isinstance(src, files.VcfTextReader)
+            src.close()
+            if src_h.n(bcflib.BCF_DT_SAMPLE) != n_samples:
+                ok = False
+                break
+        if src_text:
+            filters = [(name, ii.id) for name, ii
+                       in src_h.ids[bcflib.BCF_DT_ID]]
+            ok = native.import_add_text(
+                job, fn, out_contigs, filters, keep_filtered,
+                _ht_type(src_h, "END") == bcflib.BCF_HT_INT,
+                _ht_type(src_h, "CIGAR") == bcflib.BCF_HT_STR)
+        else:
+            gt_kid = src_h.id2int(bcflib.BCF_DT_ID, "GT")
+            if gt_kid < 0:
+                ok = False
+                break
+            cigar_kid = (src_h.id2int(bcflib.BCF_DT_ID, "CIGAR")
+                         if _ht_type(src_h, "CIGAR") == bcflib.BCF_HT_STR
+                         else -1)
+            rid_map = np.array(
+                [out_ctg.get(name, -1) for name, _ii
+                 in src_h.ids[bcflib.BCF_DT_CTG]], dtype=np.int32)
+            ok = native.import_add_bcf(job, fn, rid_map, gt_kid, cigar_kid,
+                                       0, keep_filtered)
+        if not ok:
+            break
+    if not ok:
+        native.import_abort(job)  # finish then removes the partial outputs
+    res = native.import_finish(job)
+    if not ok or res is None:
         return None
     n, rid, pos, end, voff, voff0 = res
     # CSI + RNI directly from the writer's record offsets (no re-read)
@@ -116,11 +163,11 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
             fp.write(s + "\n")
 
     import os
-    if (len(inputs) == 1 and fn_ref is None
-            and isinstance(first, files.VcfTextReader)
+    if (fn_ref is None
             and os.environ.get("BGT_TPU_NATIVE_IMPORT", "1") != "0"):
-        n = _native_import(prefix, inputs[0], h, h0, keep_filtered, clevel,
-                           n_samples)
+        n = _native_import(prefix, inputs, is_vcf,
+                           isinstance(first, files.VcfTextReader),
+                           h, h0, keep_filtered, clevel, n_samples)
         if n is not None:
             first.close()
             return n

@@ -2390,80 +2390,301 @@ struct ImportResult {
     int64_t n = 0;
 };
 
-}  // namespace
+// BGZF reader for native BCF input (inflate one block at a time; mirrors
+// bgt_tpu/io/bgzf.py's reader, reference bgzf.c:318-379)
+struct BgzfIn {
+    FILE* fp = nullptr;
+    std::vector<uint8_t> ub, cb;
+    size_t up = 0;
+    bool err = false;
 
-extern "C" {
+    ~BgzfIn() {
+        if (fp) fclose(fp);
+    }
 
-// Returns an ImportResult handle (for CSI building) or nullptr on any
-// anomaly (caller falls back to the Python importer and removes partial
-// outputs).  n_rows is reported via bgt_import_n.
-void* bgt_import_text(const char* vcf_path, const char* pbf_path,
-                      const char* bcf_path, const uint8_t* bcf_hdr_blob,
-                      int64_t hdr_len, const char* contigs_cat,
-                      int32_t n_contigs, const char* filters_cat,
-                      const int32_t* filter_ids, int32_t n_filters,
-                      int32_t n_samples, int32_t keep_flt, int32_t clevel,
-                      int32_t row_kid, int32_t end_defined,
-                      int32_t cigar_defined, int32_t shift) {
-    ImportCtx C;
-    C.n_samples = n_samples;
-    C.end_defined = end_defined != 0;
-    C.cigar_defined = cigar_defined != 0;
-    {
-        const char* p = contigs_cat;
-        for (int32_t i = 0; i < n_contigs; ++i) {
-            C.contig_id.emplace(p, i);
-            p += strlen(p) + 1;
-        }
-        p = filters_cat;
-        for (int32_t i = 0; i < n_filters; ++i) {
-            C.filter_id.emplace(p, filter_ids[i]);
-            p += strlen(p) + 1;
+    bool fill() {  // load the next non-empty block; false at EOF/error
+        for (;;) {
+            uint8_t hdr[18];
+            size_t n = fread(hdr, 1, 18, fp);
+            if (n == 0) return false;  // clean EOF
+            if (n < 18 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+                err = true;
+                return false;
+            }
+            uint16_t bs16;
+            memcpy(&bs16, hdr + 16, 2);
+            size_t bsize = (size_t)bs16 + 1;
+            if (bsize < 18 + 8) {
+                err = true;
+                return false;
+            }
+            cb.resize(bsize - 18);
+            if (fread(cb.data(), 1, bsize - 18, fp) != bsize - 18) {
+                err = true;
+                return false;
+            }
+            uint32_t isize;
+            memcpy(&isize, cb.data() + (bsize - 18 - 4), 4);
+            if (isize == 0) continue;  // EOF marker block
+            ub.resize(isize);
+            up = 0;
+            z_stream zs{};
+            if (inflateInit2(&zs, -15) != Z_OK) {
+                err = true;
+                return false;
+            }
+            zs.next_in = cb.data();
+            zs.avail_in = (uInt)(bsize - 18 - 8);
+            zs.next_out = ub.data();
+            zs.avail_out = isize;
+            int r = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (r != Z_STREAM_END) {
+                err = true;
+                return false;
+            }
+            return true;
         }
     }
-    LineReader lr;
-    lr.gz = gzopen(vcf_path, "rb");
-    if (!lr.gz) return nullptr;
-    gzbuffer(lr.gz, 1 << 20);
 
+    // read exactly n bytes: 1=ok, 0=clean EOF with nothing read, -1=error
+    int read_exact(void* dst, size_t n) {
+        uint8_t* d = (uint8_t*)dst;
+        size_t got = 0;
+        while (got < n) {
+            if (up == ub.size()) {
+                if (!fill()) return err ? -1 : (got == 0 ? 0 : -1);
+            }
+            size_t take = std::min(n - got, ub.size() - up);
+            memcpy(d + got, ub.data() + up, take);
+            up += take;
+            got += take;
+        }
+        return 1;
+    }
+};
+
+// cursor over BCF typed values (bgt_tpu/formats/bcf.py dec_* equivalents)
+struct TCur {
+    const uint8_t* p;
+    const uint8_t* e;
+    bool ok = true;
+
+    static int tsize(int t) {
+        switch (t) {
+            case 0: return 0;
+            case 1: return 1;
+            case 2: return 2;
+            case 3: return 4;
+            case 5: return 4;
+            case 7: return 1;
+        }
+        return -1;
+    }
+
+    int64_t raw_int(int t) {
+        int s = tsize(t);
+        if (s < 1 || s > 4 || t == 5 || p + s > e) {
+            ok = false;
+            return 0;
+        }
+        int64_t v = 0;
+        if (t == 1) {
+            int8_t x;
+            memcpy(&x, p, 1);
+            v = x;
+        } else if (t == 2) {
+            int16_t x;
+            memcpy(&x, p, 2);
+            v = x;
+        } else {
+            int32_t x;
+            memcpy(&x, p, 4);
+            v = x;
+        }
+        p += s;
+        return v;
+    }
+
+    int64_t int1() {  // one full typed scalar (keys, big sizes)
+        if (p >= e) {
+            ok = false;
+            return 0;
+        }
+        uint8_t b = *p++;
+        if ((b >> 4) != 1) {
+            ok = false;
+            return 0;
+        }
+        return raw_int(b & 0xf);
+    }
+
+    bool head(int& t, int64_t& n) {
+        if (p >= e) {
+            ok = false;
+            return false;
+        }
+        uint8_t b = *p++;
+        t = b & 0xf;
+        n = b >> 4;
+        if (n == 15) n = int1();
+        return ok;
+    }
+
+    bool skip_val(int t, int64_t n) {
+        int s = tsize(t);
+        if (s < 0 || p + s * n > e) {
+            ok = false;
+            return false;
+        }
+        p += s * n;
+        return true;
+    }
+};
+
+// streaming BCF record source for the importer (native equivalent of the
+// reference's bcf_read1 front-end, import.c:45, vcf.c:316-360)
+struct BcfRecSource {
+    BgzfIn in;
+    int32_t n_samples = 0;
+    const int32_t* rid_map = nullptr;
+    int32_t n_contigs_in = 0;
+    int32_t gt_kid = -1, cigar_kid = -1, pass_fid = 0;
+    bool keep_flt = false;
+    std::vector<uint8_t> sh, ind;
+
+    bool open(const char* path) {
+        in.fp = fopen(path, "rb");
+        if (!in.fp) return false;
+        // header: "BCF\2\x??" + l_text + text
+        uint8_t magic[5];
+        if (in.read_exact(magic, 5) != 1 || memcmp(magic, "BCF\x02", 4) != 0)
+            return false;
+        int32_t l_text;
+        if (in.read_exact(&l_text, 4) != 1 || l_text < 0) return false;
+        std::vector<uint8_t> skip((size_t)l_text);
+        return l_text == 0 || in.read_exact(skip.data(), skip.size()) == 1;
+    }
+
+    int read(VRec& r) {  // 1=got, 0=eof, -1=error
+        for (;;) {
+            uint32_t lens[2];
+            int g = in.read_exact(lens, 8);
+            if (g <= 0) return g;
+            uint32_t l_shared = lens[0], l_indiv = lens[1];
+            if (l_shared < 24 || l_shared > (1u << 30) ||
+                l_indiv > (1u << 31))
+                return -1;
+            sh.resize(l_shared);
+            if (in.read_exact(sh.data(), l_shared) != 1) return -1;
+            ind.resize(l_indiv);
+            if (l_indiv && in.read_exact(ind.data(), l_indiv) != 1) return -1;
+            int32_t rid, pos, rlen;
+            uint32_t nai, nfs;
+            memcpy(&rid, sh.data(), 4);
+            memcpy(&pos, sh.data() + 4, 4);
+            memcpy(&rlen, sh.data() + 8, 4);
+            memcpy(&nai, sh.data() + 16, 4);
+            memcpy(&nfs, sh.data() + 20, 4);
+            int32_t n_allele = (int32_t)(nai >> 16);
+            int32_t n_info = (int32_t)(nai & 0xffff);
+            int32_t n_sample = (int32_t)(nfs & 0xffffff);
+            int32_t n_fmt = (int32_t)(nfs >> 24);
+            if (rid < 0 || rid >= n_contigs_in || n_sample != n_samples ||
+                n_allele < 1)
+                return -1;
+            r.rid = rid_map[rid];
+            if (r.rid < 0) return -1;
+            r.pos = pos;
+            r.rlen = rlen;
+            TCur c{sh.data() + 24, sh.data() + l_shared};
+            int t;
+            int64_t n;
+            if (!c.head(t, n) || !c.skip_val(t, n)) return -1;  // ID
+            r.alleles.clear();
+            for (int32_t i = 0; i < n_allele; ++i) {
+                if (!c.head(t, n) || t != 7 || c.p + n > c.e) return -1;
+                r.alleles.emplace_back((const char*)c.p, (size_t)n);
+                c.p += n;
+            }
+            // FILTER: filtered unless empty or exactly {PASS}
+            if (!c.head(t, n)) return -1;
+            bool skip_rec = false;
+            if (n > 0) {
+                int64_t first = c.raw_int(t);
+                if (!c.ok || !c.skip_val(t, n - 1)) return -1;
+                skip_rec = !(n == 1 && first == pass_fid);
+            }
+            // INFO: capture CIGAR (comma-joined string), skip the rest
+            r.cigars.clear();
+            for (int32_t i = 0; i < n_info; ++i) {
+                int64_t key = c.int1();
+                if (!c.ok || !c.head(t, n)) return -1;
+                if ((int32_t)key == cigar_kid && t == 7 && cigar_kid >= 0) {
+                    if (c.p + n > c.e) return -1;
+                    const char* a = (const char*)c.p;
+                    const char* ae = a + n;
+                    while (a < ae) {
+                        const char* cm = (const char*)memchr(a, ',', ae - a);
+                        if (!cm) cm = ae;
+                        r.cigars.emplace_back(a, cm - a);
+                        a = cm + 1;
+                    }
+                    c.p += n;
+                } else if (!c.skip_val(t, n)) {
+                    return -1;
+                }
+            }
+            // FORMAT: find GT, require 2 int values per sample (diploid)
+            TCur f{ind.data(), ind.data() + l_indiv};
+            bool got_gt = false;
+            for (int32_t k = 0; k < n_fmt; ++k) {
+                int64_t key = f.int1();
+                if (!f.ok || !f.head(t, n)) return -1;
+                if ((int32_t)key == gt_kid) {
+                    if (n != 2 || (t != 1 && t != 2)) return -1;
+                    r.gta.resize((size_t)n_samples * 2);
+                    for (int64_t m = 0; m < (int64_t)n_samples * 2; ++m) {
+                        int64_t v = f.raw_int(t);
+                        if (!f.ok) return -1;
+                        int64_t al = v <= 0 ? -1 : (v >> 1) - 1;
+                        if (al >= n_allele) return -1;
+                        r.gta[m] = (int8_t)al;
+                    }
+                    got_gt = true;
+                } else if (!f.skip_val(t, n * n_sample)) {
+                    return -1;
+                }
+            }
+            if (!got_gt) return -1;
+            if (!keep_flt && skip_rec) continue;
+            return 1;
+        }
+    }
+};
+
+// Import job: the shared .bcf/.pbf writers + row counter across any number
+// of input files (the reference's multi-input append, import.c:85-109)
+struct ImportJob {
     BgzfOut bcf;
-    bcf.fp = fopen(bcf_path, "wb");
-    bcf.level = clevel;
     void* pbfw = nullptr;
-    auto fail = [&]() -> void* {
-        gzclose(lr.gz);
-        if (bcf.fp) fclose(bcf.fp);
-        if (pbfw) bgt_pbf_writer_close(pbfw);
-        remove(bcf_path);
-        remove(pbf_path);
-        return nullptr;
-    };
-    if (!bcf.fp) return fail();
-    if (!bcf.write(bcf_hdr_blob, (size_t)hdr_len)) return fail();
-    pbfw = bgt_pbf_writer_open(pbf_path, n_samples * 2, 2, shift);
-    if (!pbfw) return fail();
+    ImportResult* R = nullptr;
+    std::vector<uint8_t> rowbuf, shared;
+    int64_t rowbuf_n = 0, kRowBatch = 1;
+    int32_t row_kid = 0, n_samples = 0;
+    std::string pbf_path, bcf_path;
+    bool failed = false;
 
-    auto* R = new ImportResult();
-    R->voff0 = bcf.vtell();
-    std::vector<uint8_t> shared;
-    // PBF rows batch up so the writer can encode both planes in parallel;
-    // without a third core that parallelism never engages and the batch
-    // copies are pure overhead, so flush per row there
-    std::vector<uint8_t> rowbuf;
-    int64_t rowbuf_n = 0;
-    const int64_t kRowBatch =
-        std::thread::hardware_concurrency() >= 3 ? 256 : 1;
-
-    auto flush_rows = [&]() -> bool {
+    bool flush_rows() {
         if (rowbuf_n == 0) return true;
         if (bgt_pbf_writer_write(pbfw, rowbuf.data(), rowbuf_n) < 0)
             return false;
         rowbuf.clear();
         rowbuf_n = 0;
         return true;
-    };
+    }
 
-    auto emit = [&](const CAtom& a) -> bool {
+    bool emit(const CAtom& a) {
         // site record: atom_to_bcf(write_m=True, id_gt=-1) + INFO/_row
         shared.clear();
         int32_t n_allele = a.has_multi ? 3 : 2;
@@ -2494,13 +2715,15 @@ void* bgt_import_text(const char* vcf_path, const char* pbf_path,
         R->voff.push_back(bcf.vtell());
         ++R->n;
         return true;
-    };
+    }
+};
 
-    // Producer thread runs the parse + atomize state machine
-    // (bgt_tpu/core/atomize.py:220-284) and hands ready-to-emit atom
-    // batches to this thread, which encodes the PBWT planes and writes
-    // both outputs — the two halves overlap on two cores (the reference
-    // is strictly sequential here, import.c:92-103).
+// One input file through the atomize state machine: the producer thread
+// parses + atomizes (bgt_tpu/core/atomize.py:220-284), this thread encodes
+// the PBWT planes and writes both outputs — the halves overlap on two
+// cores (the reference is strictly sequential here, import.c:92-103).
+template <typename ReadRec>
+bool run_import_source(ImportJob& J, ImportCtx& C, ReadRec&& read_rec) {
     constexpr size_t kPipeMax = 8;
     struct Pipe {
         std::mutex mu;
@@ -2514,22 +2737,9 @@ void* bgt_import_text(const char* vcf_path, const char* pbf_path,
         size_t start = 0;
         bool no_vcf = false;
         VRec nxt;
-        std::string line;
         std::vector<CAtom> batch;
         constexpr size_t kBatch = 64;
 
-        auto read_rec = [&](VRec& r) -> int {  // 1=got, 0=eof, -1=error
-            bool skip;
-            while (lr.getline(line)) {
-                if (!line.empty() && line.back() == '\r') line.pop_back();
-                if (line.empty()) continue;
-                if (line[0] == '#') continue;
-                if (!parse_vrec(C, line, r, skip)) return -1;
-                if (!keep_flt && skip) continue;
-                return 1;
-            }
-            return lr.error ? -1 : 0;  // truncated input must not look done
-        };
         auto push_batch = [&]() -> bool {
             std::unique_lock<std::mutex> lk(pipe.mu);
             pipe.cv_put.wait(lk, [&] {
@@ -2608,7 +2818,7 @@ void* bgt_import_text(const char* vcf_path, const char* pbf_path,
             pipe.cv_put.notify_one();
         }
         for (const CAtom& a : batch) {
-            if (!emit(a)) {
+            if (!J.emit(a)) {
                 std::lock_guard<std::mutex> lk(pipe.mu);
                 pipe.error = true;
                 pipe.cv_put.notify_one();
@@ -2619,32 +2829,171 @@ void* bgt_import_text(const char* vcf_path, const char* pbf_path,
         if (!ok) break;
     }
     producer.join();
-    if (!ok) {
-        delete R;
-        return fail();
+    return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open an import job: shared site-BCF + PBF writers across input files.
+// nullptr on failure (caller falls back to the Python importer).
+void* bgt_import_open(const char* pbf_path, const char* bcf_path,
+                      const uint8_t* bcf_hdr_blob, int64_t hdr_len,
+                      int32_t n_samples, int32_t clevel, int32_t row_kid,
+                      int32_t shift) {
+    auto* J = new ImportJob();
+    J->pbf_path = pbf_path;
+    J->bcf_path = bcf_path;
+    J->row_kid = row_kid;
+    J->n_samples = n_samples;
+    // PBF rows batch up so the writer can encode both planes in parallel;
+    // without a third core that parallelism never engages and the batch
+    // copies are pure overhead, so flush per row there
+    J->kRowBatch = std::thread::hardware_concurrency() >= 3 ? 256 : 1;
+    J->bcf.fp = fopen(bcf_path, "wb");
+    J->bcf.level = clevel;
+    auto fail = [&]() -> void* {
+        if (J->bcf.fp) fclose(J->bcf.fp);
+        remove(bcf_path);
+        remove(pbf_path);
+        delete J;
+        return nullptr;
+    };
+    if (!J->bcf.fp) return fail();
+    if (!J->bcf.write(bcf_hdr_blob, (size_t)hdr_len)) return fail();
+    J->pbfw = bgt_pbf_writer_open(pbf_path, n_samples * 2, 2, shift);
+    if (!J->pbfw) return fail();
+    J->R = new ImportResult();
+    J->R->voff0 = J->bcf.vtell();
+    return J;
+}
+
+// Stream one text-VCF input through the job.  0 ok, -1 error (job poisoned;
+// finish cleans up).
+int32_t bgt_import_add_text(void* jobp, const char* vcf_path,
+                            const char* contigs_cat, int32_t n_contigs,
+                            const char* filters_cat,
+                            const int32_t* filter_ids, int32_t n_filters,
+                            int32_t keep_flt, int32_t end_defined,
+                            int32_t cigar_defined) {
+    auto* J = (ImportJob*)jobp;
+    if (J->failed) return -1;
+    ImportCtx C;
+    C.n_samples = J->n_samples;
+    C.end_defined = end_defined != 0;
+    C.cigar_defined = cigar_defined != 0;
+    {
+        const char* p = contigs_cat;
+        for (int32_t i = 0; i < n_contigs; ++i) {
+            C.contig_id.emplace(p, i);
+            p += strlen(p) + 1;
+        }
+        p = filters_cat;
+        for (int32_t i = 0; i < n_filters; ++i) {
+            C.filter_id.emplace(p, filter_ids[i]);
+            p += strlen(p) + 1;
+        }
     }
+    LineReader lr;
+    lr.gz = gzopen(vcf_path, "rb");
+    if (!lr.gz) {
+        J->failed = true;
+        return -1;
+    }
+    gzbuffer(lr.gz, 1 << 20);
+    std::string line;
+    auto read_rec = [&](VRec& r) -> int {  // 1=got, 0=eof, -1=error
+        bool skip;
+        while (lr.getline(line)) {
+            if (!line.empty() && line.back() == '\r') line.pop_back();
+            if (line.empty()) continue;
+            if (line[0] == '#') continue;
+            if (!parse_vrec(C, line, r, skip)) return -1;
+            if (!keep_flt && skip) continue;
+            return 1;
+        }
+        return lr.error ? -1 : 0;  // truncated input must not look done
+    };
+    bool ok = run_import_source(*J, C, read_rec);
     gzclose(lr.gz);
-    if (!flush_rows()) {
-        if (bcf.fp) fclose(bcf.fp);
-        bgt_pbf_writer_close(pbfw);
-        remove(bcf_path);
-        remove(pbf_path);
-        delete R;
-        return nullptr;
+    if (!ok) J->failed = true;
+    return ok ? 0 : -1;
+}
+
+// Stream one binary-BCF input through the job.  ``rid_map`` maps the input
+// file's contig ids to output ids (identity for a same-header append);
+// ``gt_kid``/``cigar_kid``/``pass_fid`` are the INPUT header's dictionary
+// ids.  0 ok, -1 error (job poisoned).
+int32_t bgt_import_add_bcf(void* jobp, const char* bcf_path,
+                           const int32_t* rid_map, int32_t n_contigs_in,
+                           int32_t gt_kid, int32_t cigar_kid,
+                           int32_t pass_fid, int32_t keep_flt) {
+    auto* J = (ImportJob*)jobp;
+    if (J->failed) return -1;
+    ImportCtx C;
+    C.n_samples = J->n_samples;
+    BcfRecSource src;
+    src.n_samples = J->n_samples;
+    src.rid_map = rid_map;
+    src.n_contigs_in = n_contigs_in;
+    src.gt_kid = gt_kid;
+    src.cigar_kid = cigar_kid;
+    src.pass_fid = pass_fid;
+    src.keep_flt = keep_flt != 0;
+    if (!src.open(bcf_path)) {
+        J->failed = true;
+        return -1;
     }
-    if (!bcf.close()) {
-        if (pbfw) bgt_pbf_writer_close(pbfw);
-        remove(bcf_path);
-        remove(pbf_path);
-        delete R;
-        return nullptr;
+    bool ok = run_import_source(*J, C,
+                                [&](VRec& r) -> int { return src.read(r); });
+    if (!ok) J->failed = true;
+    return ok ? 0 : -1;
+}
+
+// Poison the job: a subsequent finish removes the partial outputs instead
+// of finalizing them (Python-side pre-add failures, e.g. header mismatch).
+void bgt_import_abort(void* jobp) { ((ImportJob*)jobp)->failed = true; }
+
+// Close the job.  Returns the ImportResult handle, or nullptr on failure
+// (partial outputs removed).
+void* bgt_import_finish(void* jobp) {
+    auto* J = (ImportJob*)jobp;
+    ImportResult* R = J->R;
+    bool ok = !J->failed && J->flush_rows();
+    if (ok) ok = J->bcf.close();
+    else if (J->bcf.fp) {
+        fclose(J->bcf.fp);
+        J->bcf.fp = nullptr;
     }
-    if (bgt_pbf_writer_close(pbfw) != 0) {
-        remove(pbf_path);
+    if (J->pbfw && bgt_pbf_writer_close(J->pbfw) != 0) ok = false;
+    if (!ok) {
+        remove(J->bcf_path.c_str());
+        remove(J->pbf_path.c_str());
         delete R;
-        return nullptr;
+        R = nullptr;
     }
+    delete J;
     return R;
+}
+
+// One-shot single text-VCF import (the original entry point; kept as a
+// wrapper over open/add/finish).
+void* bgt_import_text(const char* vcf_path, const char* pbf_path,
+                      const char* bcf_path, const uint8_t* bcf_hdr_blob,
+                      int64_t hdr_len, const char* contigs_cat,
+                      int32_t n_contigs, const char* filters_cat,
+                      const int32_t* filter_ids, int32_t n_filters,
+                      int32_t n_samples, int32_t keep_flt, int32_t clevel,
+                      int32_t row_kid, int32_t end_defined,
+                      int32_t cigar_defined, int32_t shift) {
+    void* J = bgt_import_open(pbf_path, bcf_path, bcf_hdr_blob, hdr_len,
+                              n_samples, clevel, row_kid, shift);
+    if (!J) return nullptr;
+    bgt_import_add_text(J, vcf_path, contigs_cat, n_contigs, filters_cat,
+                        filter_ids, n_filters, keep_flt, end_defined,
+                        cigar_defined);
+    return bgt_import_finish(J);
 }
 
 int64_t bgt_import_n(void* h) { return ((ImportResult*)h)->n; }

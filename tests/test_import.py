@@ -270,3 +270,53 @@ def test_native_import_truncated_gzip_fails(tmp_path):
     finally:
         importer._native_import = orig
     assert calls == [None], "native importer accepted a truncated stream"
+
+
+def test_native_import_serves_bcf_and_appends(tmp_path, monkeypatch):
+    """The native job API (open/add_text/add_bcf/finish) must serve binary
+    BCF inputs and multi-file appends directly — no Python fallback — and
+    match the Python pipeline byte-for-byte (VERDICT r3 missing #4)."""
+    from bgt_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    from bgt_tpu.io import files
+    from bgt_tpu.formats import bcf as bcflib
+    from bgt_tpu.query import importer as imp
+
+    full = testing.random_vcf(n_samples=9, n_sites=160, seed=31,
+                              p_multi=0.3, p_indel=0.3)
+    head = [l for l in full.splitlines() if l.startswith("#")]
+    body = [l for l in full.splitlines() if l and not l.startswith("#")]
+    half = len(body) // 2
+    (tmp_path / "p1.vcf").write_text("\n".join(head + body[:half]) + "\n")
+    (tmp_path / "p2.vcf").write_text("\n".join(head + body[half:]) + "\n")
+    testing.vcf_text_to_bcf("\n".join(head + body[half:]) + "\n",
+                            str(tmp_path / "p2.bcf"))
+
+    for name, inputs in [
+        ("bcfonly", ["p2.bcf"]),
+        ("append", ["p1.vcf", "p2.vcf"]),
+        ("mixed", ["p1.vcf", "p2.bcf"]),
+    ]:
+        paths = [str(tmp_path / f) for f in inputs]
+        first = files.open_vcf(paths[0], None)
+        h = first.header
+        h0 = h.subset(None)
+        if h0.id2int(bcflib.BCF_DT_ID, "GT") < 0:
+            h0.append('##FORMAT=<ID=GT,Number=1,Type=String,'
+                      'Description="Genotype">')
+        h0.append('##INFO=<ID=_row,Number=1,Type=Integer,'
+                  'Description="row number">')
+        n = imp._native_import(
+            str(tmp_path / f"nat_{name}"), paths, None,
+            isinstance(first, files.VcfTextReader), h, h0, False, -1,
+            h.n(bcflib.BCF_DT_SAMPLE))
+        first.close()
+        assert n is not None and n > 0, f"native path fell back on {name}"
+        monkeypatch.setenv("BGT_TPU_NATIVE_IMPORT", "0")
+        n2 = imp.import_vcf(str(tmp_path / f"py_{name}"), paths)
+        monkeypatch.undo()
+        assert n == n2
+        for ext in (".bcf", ".pbf"):
+            assert (tmp_path / f"nat_{name}{ext}").read_bytes() == \
+                (tmp_path / f"py_{name}{ext}").read_bytes(), (name, ext)
