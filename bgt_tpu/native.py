@@ -91,6 +91,9 @@ def get_lib():
     lib.bgt_import_finish.argtypes = [ctypes.c_void_p]
     lib.bgt_import_abort.restype = None
     lib.bgt_import_abort.argtypes = [ctypes.c_void_p]
+    lib.bgt_introsort_desc.restype = None
+    lib.bgt_introsort_desc.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_void_p]
     lib.bgt_bgzf_deflate.restype = ctypes.c_int64
     lib.bgt_bgzf_deflate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_int32, ctypes.c_int32,

@@ -226,14 +226,25 @@ class BgtReader:
         self.n_out = sel.size
         self.out = sel.astype(np.int64)
         self.group = self.gtag[sel].astype(np.uint32)
-        # per-reader output header (bgt_prepare, bgt.c:222-236)
-        raw = self.f.h0.raw[: self.f.h0.l_text]
-        if raw and raw[-1] == "\x00":
-            raw = raw[:-1]
-        if self.n_out > 0:
-            raw = "".join([raw, "\tFORMAT"]
-                          + ["\t" + f.row_name(int(i)) for i in self.out])
-        self.h_out = bcflib.BcfHeader.from_text_cached(raw)
+        # per-reader output header (bgt_prepare, bgt.c:222-236) — memoized
+        # per (database handle, selection): building the 30k-name header
+        # text costs ~14 ms at HRC width, which dominated warm -S/-H runs
+        hkey = self.out.tobytes()
+        hcache = getattr(self.f, "_hout_cache", None)
+        if hcache is None:
+            hcache = self.f._hout_cache = {}
+        h_out = hcache.get(hkey)
+        if h_out is None:
+            raw = self.f.h0.raw[: self.f.h0.l_text]
+            if raw and raw[-1] == "\x00":
+                raw = raw[:-1]
+            if self.n_out > 0:
+                raw = "".join([raw, "\tFORMAT"]
+                              + ["\t" + f.row_name(int(i)) for i in self.out])
+            h_out = bcflib.BcfHeader.from_text_cached(raw)
+            if len(hcache) < 8:
+                hcache[hkey] = h_out
+        self.h_out = h_out
         cols = np.empty(self.n_out * 2, dtype=np.int64)
         cols[0::2] = self.out * 2
         cols[1::2] = self.out * 2 + 1
@@ -1013,10 +1024,20 @@ class BgtmReader:
             sel = (hap_group >> j) & 1
             cnt[:, j] = np.bincount(t_of_hap, weights=sel,
                                     minlength=n).astype(np.int64)
-        order = list(range(n))
-        from ..core.introsort import ks_introsort
-        tot_l = tot.tolist()
-        ks_introsort(order, lambda x, y: tot_l[x] > tot_l[y])
+        from .. import native
+        lib = native.get_lib()
+        if lib is not None:
+            import ctypes
+            order_a = np.arange(n, dtype=np.int64)
+            keys = np.ascontiguousarray(tot, dtype=np.int64)
+            lib.bgt_introsort_desc(ctypes.c_void_p(order_a.ctypes.data), n,
+                                   ctypes.c_void_p(keys.ctypes.data))
+            order = order_a.tolist()
+        else:
+            order = list(range(n))
+            from ..core.introsort import ks_introsort
+            tot_l = tot.tolist()
+            ks_introsort(order, lambda x, y: tot_l[x] > tot_l[y])
         haps = u[order_seen]
         out = [f"NA\t{len(self.aal)}"]
         for a in self.aal:
@@ -1030,9 +1051,14 @@ class BgtmReader:
                         & np.uint64(1))).astype(np.uint8)
         blob = digits.tobytes().decode("latin-1")
         w = len(self.aal)
-        for t in order:
-            bits = blob[t * w: (t + 1) * w]
-            out.append("HC\t" + bits + "".join(f"\t{c}" for c in cnt_l[t]))
+        if self.n_groups == 1:
+            for t in order:
+                out.append(f"HC\t{blob[t * w: (t + 1) * w]}\t{cnt_l[t][0]}")
+        else:
+            for t in order:
+                bits = blob[t * w: (t + 1) * w]
+                out.append("HC\t" + bits
+                           + "".join(f"\t{c}" for c in cnt_l[t]))
         return "\n".join(out) + "\n"
 
     def alcnt_print(self) -> str:

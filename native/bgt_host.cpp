@@ -3405,3 +3405,110 @@ int64_t bgt_bgzf_deflate(const uint8_t* data, int64_t len, int level,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ksort.h introsort replica over an int64 index array ordered by key[x] >
+// key[y] (descending counts): the -H report's tie order is set by this
+// UNSTABLE algorithm (reference bgt.c:929, ksort.h), so byte parity needs
+// the very same swap sequence — this is a line-for-line translation of
+// bgt_tpu/core/introsort.py (itself the ksort.h replica), not a std::sort.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IntroLt {
+    const int64_t* key;
+    bool operator()(int64_t x, int64_t y) const { return key[x] > key[y]; }
+};
+
+void intro_insertsort(int64_t* a, int64_t lo, int64_t hi, IntroLt lt) {
+    for (int64_t i = lo + 1; i < hi; ++i)
+        for (int64_t j = i; j > lo && lt(a[j], a[j - 1]); --j)
+            std::swap(a[j], a[j - 1]);
+}
+
+void intro_combsort(int64_t* a, int64_t lo, int64_t n, IntroLt lt) {
+    const double kShrink = 1.2473309501039786540366528676643;
+    int64_t gap = n;
+    for (;;) {
+        if (gap > 2) {
+            gap = (int64_t)(gap / kShrink);
+            if (gap == 9 || gap == 10) gap = 11;
+        }
+        bool do_swap = false;
+        for (int64_t i = lo; i < lo + n - gap; ++i) {
+            int64_t j = i + gap;
+            if (lt(a[j], a[i])) {
+                std::swap(a[i], a[j]);
+                do_swap = true;
+            }
+        }
+        if (!(do_swap || gap > 2)) break;
+    }
+    if (gap != 1) intro_insertsort(a, lo, lo + n, lt);
+}
+
+}  // namespace
+
+extern "C" void bgt_introsort_desc(int64_t* a, int64_t n,
+                                   const int64_t* key) {
+    IntroLt lt{key};
+    if (n < 1) return;
+    if (n == 2) {
+        if (lt(a[1], a[0])) std::swap(a[0], a[1]);
+        return;
+    }
+    int d = 2;
+    while ((int64_t(1) << d) < n) ++d;
+    struct Frame {
+        int64_t s, t;
+        int d;
+    };
+    std::vector<Frame> stack;
+    int64_t s = 0, t = n - 1;
+    d <<= 1;
+    for (;;) {
+        if (s < t) {
+            if (--d == 0) {
+                intro_combsort(a, s, t - s + 1, lt);
+                t = s;
+                continue;
+            }
+            int64_t i = s, j = t;
+            int64_t k = i + ((j - i) >> 1) + 1;
+            if (lt(a[k], a[i])) {
+                if (lt(a[k], a[j])) k = j;
+            } else {
+                k = lt(a[j], a[i]) ? i : j;
+            }
+            int64_t rp = a[k];
+            if (k != t) std::swap(a[k], a[t]);
+            for (;;) {
+                ++i;
+                while (lt(a[i], rp)) ++i;
+                --j;
+                while (i <= j && lt(rp, a[j])) --j;
+                if (j <= i) break;
+                std::swap(a[i], a[j]);
+            }
+            std::swap(a[i], a[t]);
+            if (i - s > t - i) {
+                if (i - s > 16) stack.push_back({s, i - 1, d});
+                s = (t - i > 16) ? i + 1 : t;
+            } else {
+                if (t - i > 16) stack.push_back({i + 1, t, d});
+                t = (i - s > 16) ? i - 1 : s;
+            }
+        } else {
+            if (stack.empty()) {
+                intro_insertsort(a, 0, n, lt);
+                return;
+            }
+            Frame f = stack.back();
+            stack.pop_back();
+            s = f.s;
+            t = f.t;
+            d = f.d;
+        }
+    }
+}
