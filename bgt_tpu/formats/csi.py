@@ -155,6 +155,132 @@ class HtsIndex:
         self.n_rec += 1
         return 0
 
+    def push_batch(self, tid, beg, end, voff) -> None:
+        """Vectorized equivalent of one :meth:`push` per record for a whole
+        sorted mapped batch (the importer's path; per-record Python pushes
+        cost ~2.5 µs each, ~100 s at the 39M-row HRC shape).
+
+        ``voff[i]`` is the BGZF virtual offset AFTER record i (push's
+        ``offset`` argument); the offset before record i is
+        ``voff[i-1]`` (``offset0`` for i==0), exactly the builder's
+        ``_last_off`` state.  Must be called on a fresh index; call
+        :meth:`finish` afterwards as usual."""
+        import numpy as np
+        if self.n_rec or self._finished or self._save_bin != -1:
+            raise ValueError("push_batch needs a fresh index")
+        tid = np.asarray(tid, np.int64)
+        beg = np.asarray(beg, np.int64)
+        end = np.asarray(end, np.int64)
+        voff = np.asarray(voff, np.uint64)
+        n = tid.size
+        if n == 0:
+            return
+        if (tid < 0).any():
+            raise ValueError("push_batch handles mapped records only")
+        if (np.diff(tid) < 0).any():
+            raise ValueError("unsorted chromosomes")
+        new_tid = np.empty(n, bool)
+        new_tid[0] = True
+        new_tid[1:] = tid[1:] != tid[:-1]
+        if (np.diff(beg)[~new_tid[1:]] < 0).any():
+            raise ValueError("unsorted positions")
+        while int(tid.max()) >= len(self.bidx):
+            self.bidx.append(dict())
+            self.lidx.append([])
+            self.loff.append(dict())
+        self.n = max(self.n, int(tid.max()) + 1)
+        off_before = np.empty(n, np.uint64)
+        off_before[0] = self._last_off
+        off_before[1:] = voff[:-1]
+
+        # per-record bin (reg2bin vectorized over levels)
+        e1 = end - 1
+        bins = np.zeros(n, np.int64)
+        done = np.zeros(n, bool)
+        s = self.min_shift
+        t = ((1 << (3 * self.n_lvls)) - 1) // 7
+        l = self.n_lvls
+        while l > 0:
+            hit = ~done & ((beg >> s) == (e1 >> s))
+            bins[hit] = t + (beg[hit] >> s)
+            done |= hit
+            l -= 1
+            s += 3
+            t -= 1 << (3 * l)
+
+        # (tid, bin) runs of consecutive records -> one chunk per run
+        new_run = new_tid.copy()
+        new_run[1:] |= bins[1:] != bins[:-1]
+        starts = np.nonzero(new_run)[0]
+        run_ends = np.empty(starts.size, np.int64)
+        run_ends[:-1] = starts[1:] - 1
+        run_ends[-1] = n - 1
+        u = off_before[starts].tolist()
+        v = voff[run_ends].tolist()
+        bl = bins[starts].tolist()
+        tl = tid[starts].tolist()
+        for k in range(starts.size):
+            self.bidx[tl[k]].setdefault(bl[k], []).append((u[k], v[k]))
+
+        # per-tid meta pseudo-bin: file span + (n_mapped, n_unmapped)
+        tstarts = np.nonzero(new_tid)[0]
+        tends = np.empty(tstarts.size, np.int64)
+        tends[:-1] = tstarts[1:] - 1
+        tends[-1] = n - 1
+        for k in range(tstarts.size):
+            i = int(tid[tstarts[k]])
+            m = self.bidx[i].setdefault(self.n_bins + 1, [])
+            # all but the last tid's span closes here; the last closes in
+            # finish() at the final offset, exactly like the push builder
+            if k < tstarts.size - 1:
+                m.append((int(off_before[tstarts[k]]),
+                          int(voff[tends[k]])))
+                m.append((int(tends[k] - tstarts[k] + 1), 0))
+        # leave builder state so finish() emits the final tid's records
+        self._save_tid = self._last_tid = int(tid[-1])
+        self._save_bin = self._last_bin = int(bins[-1])
+        self._save_off = int(off_before[starts[-1]])
+        self._off_beg = int(off_before[tstarts[-1]])
+        self._n_mapped = int(n - 1 - tends[-2]) if tstarts.size > 1 else n
+        self._n_unmapped = 0
+        self._last_off = int(voff[-1])
+        self._last_coor = int(beg[-1])
+        # drop the final run's chunk: finish() re-inserts it closed at the
+        # final offset (matching the push builder's save_bin handling)
+        self.bidx[tl[-1]][bl[-1]].pop()
+
+        # linear index: slot -> offset of the first record covering it
+        ms = self.min_shift
+        sb = beg >> ms
+        se = e1 >> ms
+        lens = se - sb + 1
+        total = int(lens.sum())
+        seg = np.repeat(np.cumsum(lens) - lens, lens)
+        within = np.arange(total, dtype=np.int64) - seg
+        slots = np.repeat(sb, lens) + within
+        recs = np.repeat(np.arange(n, dtype=np.int64), lens)
+        for k in range(tstarts.size):
+            i = int(tid[tstarts[k]])
+            lo, hi = int(tstarts[k]), int(tends[k]) + 1
+            m_t = (recs >= lo) & (recs < hi)
+            s_t = slots[m_t]
+            r_t = recs[m_t]
+            order = np.lexsort((r_t, s_t))
+            s_sorted = s_t[order]
+            r_sorted = r_t[order]
+            first = np.ones(s_sorted.size, bool)
+            first[1:] = s_sorted[1:] != s_sorted[:-1]
+            lin = np.full(int(se[lo:hi].max()) + 1, -1, np.int64)
+            lin[s_sorted[first]] = off_before[r_sorted[first]].astype(
+                np.int64)
+            self.lidx[i] = lin.tolist()
+
+        # RNI record-number index: offset before every 2^rec_shift-th record
+        if self.rec_shift > 0:
+            self.ridx.extend(
+                off_before[:: 1 << self.rec_shift].astype(np.int64).tolist())
+        self.n_rec = n
+
     def finish(self, final_offset: int) -> None:
         if self._finished:
             return

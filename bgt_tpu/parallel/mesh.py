@@ -23,11 +23,23 @@ shard_map = jax.shard_map
 from ..ops import counts as counts_ops
 
 SAMPLE_AXIS = "s"
+ROW_AXIS = "r"  # site-batch data axis (SURVEY §2 parallelism inventory)
 
 
 def make_mesh(devices=None, axis: str = SAMPLE_AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh2(n_rows_axis: int, devices=None) -> Mesh:
+    """2-axis (site-batch x sample-column) mesh: rows shard along 'r',
+    columns along 's'.  Counts psum over 's' only (each row block's counts
+    stay with its row shard); GT gathers ride 's' within a row block."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    assert n % n_rows_axis == 0, (n, n_rows_axis)
+    return Mesh(devices.reshape(n_rows_axis, n // n_rows_axis),
+                (ROW_AXIS, SAMPLE_AXIS))
 
 
 def pad_words_for_mesh(n_words: int, n_dev: int) -> int:
@@ -89,6 +101,46 @@ def sharded_count_range_fn(mesh: Mesh):
         return fn(p0, p1, masks, jnp.int32(start))
 
     return call
+
+
+def shard_planes2(mesh: Mesh, plane0: np.ndarray, plane1: np.ndarray,
+                  masks: np.ndarray):
+    """Place planes on a 2-axis mesh: rows over 'r', word-columns over 's';
+    masks replicate along 'r' and shard along 's'.  Row/column counts pad
+    to the axis sizes."""
+    r, s = mesh.shape[ROW_AXIS], mesh.shape[SAMPLE_AXIS]
+    words = pad_words_for_mesh(plane0.shape[1], s)
+    rows = (plane0.shape[0] + r - 1) // r * r
+    pad_c = words - plane0.shape[1]
+    pad_r = rows - plane0.shape[0]
+    if pad_c or pad_r:
+        plane0 = np.pad(plane0, ((0, pad_r), (0, pad_c)))
+        plane1 = np.pad(plane1, ((0, pad_r), (0, pad_c)))
+    if pad_c:
+        masks = np.pad(masks, ((0, 0), (0, pad_c)))
+    psh = NamedSharding(mesh, P(ROW_AXIS, SAMPLE_AXIS))
+    msh = NamedSharding(mesh, P(None, SAMPLE_AXIS))
+    return (jax.device_put(plane0, psh), jax.device_put(plane1, psh),
+            jax.device_put(masks, msh))
+
+
+def sharded_count2_fn(mesh: Mesh):
+    """jitted (p0, p1, masks) -> (rows, groups, 4) over a 2-axis mesh:
+    each (row-block, column-block) device computes local masked popcounts,
+    the psum rides the sample axis only, and the result stays row-sharded
+    along 'r' (no gather until the host reads it back)."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(ROW_AXIS, SAMPLE_AXIS), P(ROW_AXIS, SAMPLE_AXIS),
+                  P(None, SAMPLE_AXIS)),
+        out_specs=P(ROW_AXIS, None, None), check_vma=False,
+    )
+    def _counts(p0, p1, masks):
+        local = counts_ops.count_codes(p0, p1, masks)
+        return jax.lax.psum(local, SAMPLE_AXIS)
+
+    return jax.jit(_counts)
 
 
 def sharded_pairs_rows_fn(mesh: Mesh):

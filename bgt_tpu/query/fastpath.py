@@ -405,6 +405,16 @@ def _planes_from_pairs(pairs: np.ndarray):
             np.arange(n_out * 2, dtype=np.int64))
 
 
+def _shard_min_rows() -> int:
+    """Row-span crossover below which an in-process mesh loses to a single
+    device (BGT_TPU_SHARD_MIN_ROWS overrides; 0 forces the mesh)."""
+    import os
+    env = os.environ.get("BGT_TPU_SHARD_MIN_ROWS")
+    if env:
+        return int(env)
+    return 65536
+
+
 def _bucket(n: int, cap: int) -> int:
     b = 1024
     while b < n:
@@ -751,6 +761,15 @@ class _DbCtx:
         if memo_ok:
             start, span = 0, ts.n_rows
         sharding = sharding_cb() if sharding_cb is not None else None
+        if (sharding is not None and not sharding.multi_process
+                and span < _shard_min_rows()):
+            # below the mesh-dispatch crossover a single device wins: the
+            # multi-device dispatch + replicated-output assembly costs a
+            # flat ~60-100 ms on the CPU proxy (tools/bench_scaling.py
+            # measures the crossover), which only amortizes on large row
+            # spans.  Multi-process meshes have no single-device fallback
+            # (no process holds the full columns), so they always shard.
+            sharding = None
         if sharding is not None:
             p0, p1, words, n_rows = sharding.planes(self)
             msk = sharding.put_masks(masks, words)

@@ -132,13 +132,10 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
         n_lvls += 1
         s <<= 3
     idx = HtsIndex(h0.n(bcflib.BCF_DT_CTG), 14, n_lvls, offset0=voff0)
-    # per-record Python push (~2.5us each): fine through ~10^6 sites; at
-    # full HRC scale (39M) this is ~4% of import wall — the next native
-    # candidate if import is pushed further (push is a stateful bin-run
-    # tracker, so vectorizing it faithfully is nontrivial)
-    push = idx.push
-    for i in range(n):
-        push(int(rid[i]), int(pos[i]), int(end[i]), int(voff[i]), True)
+    # vectorized CSI construction (the per-record Python push cost ~2.5 µs
+    # each — ~100 s at the 39M-row HRC shape; VERDICT r3 next #3)
+    if n:
+        idx.push_batch(rid, pos, end, voff)
     idx.finish(os.path.getsize(f"{prefix}.bcf") << 16)
     idx.save(f"{prefix}.bcf")
     return n

@@ -33,3 +33,38 @@ def test_bgzf_virtual_offsets(tmp_path):
         r.seek(offs[i])
         assert r.read(997) == payload[i * 997:(i + 1) * 997], i
     r.close()
+
+
+def test_csi_push_batch_matches_scalar_push():
+    """The vectorized batch CSI builder must reproduce the per-record push
+    state machine exactly (bins, chunks, meta, linear index, loff, RNI)."""
+    import numpy as np
+    from bgt_tpu.formats.csi import HtsIndex
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        n = int(rng.integers(1, 3000))
+        n_ctg = int(rng.integers(1, 4))
+        tid = np.sort(rng.integers(0, n_ctg, n))
+        pos = np.empty(n, np.int64)
+        for t in range(n_ctg):
+            m = tid == t
+            pos[m] = np.sort(rng.integers(0, 5_000_000, m.sum()))
+        rlen = rng.choice([1, 2, 5, 30000], n, p=[0.8, 0.1, 0.08, 0.02])
+        end = pos + rlen
+        voff = np.cumsum(rng.integers(20, 4000, n)).astype(np.uint64) \
+            + (7 << 16)
+        off0 = 7 << 16
+        a = HtsIndex(n_ctg, 14, 5, offset0=off0)
+        for i in range(n):
+            a.push(int(tid[i]), int(pos[i]), int(end[i]), int(voff[i]), True)
+        a.finish(int(voff[-1]) + (99 << 16))
+        b = HtsIndex(n_ctg, 14, 5, offset0=off0)
+        b.push_batch(tid, pos, end, voff)
+        b.finish(int(voff[-1]) + (99 << 16))
+        assert a.n_rec == b.n_rec and a.ridx == b.ridx
+        assert a.n == b.n
+        for i in range(a.n):
+            assert a.bidx[i] == b.bidx[i], (trial, i)
+            assert a.loff[i] == b.loff[i]
+            assert a.lidx[i] == b.lidx[i]

@@ -154,8 +154,10 @@ def test_view_sharded_vs_unsharded(tmp_path, ref_bgt, monkeypatch):
     def run(shard_env):
         monkeypatch.setenv("BGT_TPU_SHARD", shard_env)
         # force the device/mesh tier: this test is about mesh correctness,
-        # not the cost model (which would route this tiny shape to host)
+        # not the cost model (which would route this tiny shape to host,
+        # and the dispatch-crossover gate would route it to one device)
         monkeypatch.setenv("BGT_TPU_COUNT_TIER", "device")
+        monkeypatch.setenv("BGT_TPU_SHARD_MIN_ROWS", "0")
         fastpath.reset_shard_context()
         buf = io.StringIO()
         old = os.getcwd()
