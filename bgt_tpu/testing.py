@@ -284,3 +284,97 @@ def random_spl(n_samples: int, seed: int = 0, sample_prefix: str = "S",
         gender = "M" if rng.random() < 0.5 else "F"
         lines.append(f"{sample_prefix}{i:04d}\tpopulation:Z:{pop}\tgender:Z:{gender}")
     return "\n".join(lines) + "\n"
+
+
+def synth_gt_bcf_to_file(path: str,
+                         n_samples: int,
+                         n_sites: int,
+                         seed: int = 0,
+                         chrom: str = "11",
+                         chrom_len: int = 135006516,
+                         n_founders: int = 64,
+                         switch_rate: float = 0.002,
+                         p_missing: float = 0.002,
+                         chunk_sites: int = 2048,
+                         log_every: int = 0) -> None:
+    """LD-structured cohort written DIRECTLY as a genotyped BCF.
+
+    The text-VCF generators cannot reach true HRC scale (32,488 samples x
+    millions of sites is hundreds of GB of text); this one synthesizes the
+    founder-mosaic genotype codes per chunk, packs them into bit planes,
+    and serializes biallelic-SNP records through the native BCF emitter
+    into a BGZF stream — generation runs at deflate speed.  The output is
+    a standard GT BCF accepted by both importers (ours and the
+    reference's)."""
+    import numpy as np
+    from . import native
+    from .formats import bcf as bcflib
+    from .io.bgzf import BgzfWriter
+    from .ops.tiles import TileStore
+
+    if native.get_lib() is None:
+        raise RuntimeError("synth_gt_bcf_to_file needs the native library")
+    rng = np.random.default_rng(seed)
+    n_hap = 2 * n_samples
+    samples = [f"S{i:05d}" for i in range(n_samples)]
+    text = ("##fileformat=VCFv4.1\n"
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+            f"##contig=<ID={chrom},length={chrom_len}>\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(samples) + "\n")
+    h = bcflib.BcfHeader.from_text(text)
+    gt_id = h.id2int(bcflib.BCF_DT_ID, "GT")
+    assert gt_id >= 0
+
+    # ascending unique positions via random gaps scaled into the contig
+    span = chrom_len - 20_000
+    # mean gap ~0.75*span/n_sites keeps the cumsum comfortably inside the
+    # contig (relative sd shrinks as 1/sqrt(n))
+    max_gap = max(2, 3 * span // (2 * n_sites))
+    gaps = rng.integers(1, max_gap, n_sites)
+    pos = 10_000 + np.cumsum(gaps)
+    assert int(pos[-1]) < chrom_len, "positions overflow the contig"
+    refs = rng.integers(0, 4, n_sites).astype(np.int64)
+    alts = (refs + rng.integers(1, 4, n_sites)) % 4
+    base = np.frombuffer(b"ACGT", np.uint8)
+
+    cur = rng.integers(0, n_founders, n_hap).astype(np.int32)
+    cols = np.arange(n_hap, dtype=np.int64)
+    import os
+    with open(path, "wb") as raw:
+        out = BgzfWriter(raw, level=1, threads=min(os.cpu_count() or 1, 8))
+        h.write_bcf(out)
+        for lo in range(0, n_sites, chunk_sites):
+            hi = min(lo + chunk_sites, n_sites)
+            k = hi - lo
+            freqs = rng.beta(0.2, 0.8, size=k)
+            founder = (rng.random((k, n_founders))
+                       < freqs[:, None]).astype(np.uint8)
+            switches = rng.random((k, n_hap)) < switch_rate
+            jumps = rng.integers(0, n_founders, (k, n_hap)).astype(np.int32)
+            codes = np.empty((k, n_hap), dtype=np.uint8)
+            for i in range(k):
+                if lo + i > 0:
+                    cur = np.where(switches[i], jumps[i], cur)
+                codes[i] = founder[i][cur]
+            miss = rng.random((k, n_hap)) < p_missing
+            codes[miss] = 2
+            ts = TileStore.from_codes(codes)
+            zeros = np.zeros(k, dtype=np.int64)
+            chunks = native.emit_bcf_records(
+                np.zeros(k, np.int32), pos[lo:hi], np.ones(k, np.int64),
+                base[refs[lo:hi]].tobytes(),
+                np.arange(k, dtype=np.int64), np.ones(k, np.int32),
+                base[alts[lo:hi]].tobytes(),
+                np.arange(k, dtype=np.int64), np.ones(k, np.int32),
+                np.full(k, 2, np.int32), np.full(k, -1, np.int64),
+                0, 1, zeros, zeros, zeros, None, None, None,
+                -1, -1, -1, [], [], gt_id,
+                (ts.plane0, ts.plane1, cols))
+            for c in chunks:
+                out.write(memoryview(c))
+            if log_every and (lo // chunk_sites) % log_every == 0:
+                import sys
+                print(f"[synth] {hi}/{n_sites} sites", file=sys.stderr,
+                      flush=True)
+        out.close()
