@@ -16,13 +16,17 @@ def main_import(argv, out=None, err=None) -> int:
     keep_flt = False
     clevel = -1
     fn_ref = None
+    gen_pb1 = False
     try:
         opts, args = getopt.getopt(argv, "1l:SFt:")
     except getopt.GetoptError as e:
         print(f"[E::main_import] {e}", file=err)
         return 1
     for c, val in opts:
-        if c == "-S":
+        if c == "-1":
+            # single-plane .pb1 file ("not used for now", import.c:24,37)
+            gen_pb1 = True
+        elif c == "-S":
             is_vcf = True
         elif c == "-t":
             # list of contig names/lengths for headerless VCF (import.c:35)
@@ -36,7 +40,8 @@ def main_import(argv, out=None, err=None) -> int:
         print("Usage: bgt import [options] <out-prefix> <in.bcf>|<in.vcf>|<in.vcf.gz>",
               file=err)
         return 1
-    importer.import_vcf(args[0], args[1:], is_vcf, keep_flt, clevel, fn_ref=fn_ref)
+    importer.import_vcf(args[0], args[1:], is_vcf, keep_flt, clevel,
+                        fn_ref=fn_ref, gen_pb1=gen_pb1)
     return 0
 
 

@@ -75,7 +75,8 @@ def get_lib():
     lib.bgt_import_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                     ctypes.c_char_p, ctypes.c_int64,
                                     ctypes.c_int32, ctypes.c_int32,
-                                    ctypes.c_int32, ctypes.c_int32]
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    ctypes.c_char_p]
     lib.bgt_import_add_text.restype = ctypes.c_int32
     lib.bgt_import_add_text.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                         ctypes.c_char_p, ctypes.c_int32,
@@ -690,15 +691,18 @@ def _import_result(lib, h):
 
 
 def import_open(pbf_path: str, bcf_path: str, bcf_hdr_blob: bytes,
-                n_samples: int, clevel: int, row_kid: int, shift: int):
+                n_samples: int, clevel: int, row_kid: int, shift: int,
+                pb1_path: str | None = None):
     """Open a native import job (shared writers across input files);
-    returns an opaque handle or None."""
+    returns an opaque handle or None.  ``pb1_path``: also emit the
+    single-plane .pb1 (import -1, reference import.c:24,37)."""
     lib = get_lib()
     if lib is None:
         return None
     h = lib.bgt_import_open(pbf_path.encode(), bcf_path.encode(),
                             bcf_hdr_blob, len(bcf_hdr_blob), n_samples,
-                            clevel, row_kid, shift)
+                            clevel, row_kid, shift,
+                            pb1_path.encode() if pb1_path else None)
     return h or None
 
 

@@ -53,7 +53,7 @@ def _ht_type(hdr, key: str) -> int:
 
 def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
                    first_text: bool, h, h0, keep_filtered: bool, clevel: int,
-                   n_samples: int) -> int | None:
+                   n_samples: int, gen_pb1: bool = False) -> int | None:
     """One-pass native import (parse+atomize+write in C++) over any mix of
     text-VCF and binary-BCF inputs, appended in order (reference
     import.c:45,85-109); returns n rows or None when the native path is
@@ -69,7 +69,8 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
     blob = b"BCF\x02\x02" + struct.pack("<i", len(data)) + data
     row_kid = h0.id2int(bcflib.BCF_DT_ID, "_row")
     job = native.import_open(f"{prefix}.pbf", f"{prefix}.bcf", blob,
-                             n_samples, clevel, row_kid, PBF_SHIFT)
+                             n_samples, clevel, row_kid, PBF_SHIFT,
+                             f"{prefix}.pb1" if gen_pb1 else None)
     if job is None:
         return None
     # the output header's contig order (identical to the first input's):
@@ -143,7 +144,7 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
 
 def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
                keep_filtered: bool = False, clevel: int = -1,
-               fn_ref: str | None = None) -> int:
+               fn_ref: str | None = None, gen_pb1: bool = False) -> int:
     """Import VCF/BCF file(s) into a BGT database at ``prefix``."""
     first = files.open_vcf(inputs[0], is_vcf, fn_ref)
     h = first.header
@@ -164,7 +165,8 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
             and os.environ.get("BGT_TPU_NATIVE_IMPORT", "1") != "0"):
         n = _native_import(prefix, inputs, is_vcf,
                            isinstance(first, files.VcfTextReader),
-                           h, h0, keep_filtered, clevel, n_samples)
+                           h, h0, keep_filtered, clevel, n_samples,
+                           gen_pb1)
         if n is not None:
             first.close()
             return n
@@ -177,6 +179,13 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
         pbf = native.NativePbfWriter(f"{prefix}.pbf", n_samples * 2, 2, PBF_SHIFT)
     except (RuntimeError, OSError):
         pbf = PbfWriter(f"{prefix}.pbf", n_samples * 2, 2, PBF_SHIFT)
+    pbf1 = None
+    if gen_pb1:  # single-plane .pb1 (import -1, reference import.c:74,101)
+        try:
+            pbf1 = native.NativePbfWriter(f"{prefix}.pb1", n_samples * 2, 1,
+                                          PBF_SHIFT)
+        except (RuntimeError, OSError):
+            pbf1 = PbfWriter(f"{prefix}.pb1", n_samples * 2, 1, PBF_SHIFT)
     out = BgzfWriter(f"{prefix}.bcf", clevel)
     h0.write_bcf(out)
 
@@ -201,6 +210,13 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
                         pbf.write_row([row & 1, row >> 1])
                 else:
                     pbf.write_codes(item)
+                if pbf1 is not None:
+                    bit1 = (item == 1).astype(np.uint8)
+                    if isinstance(pbf1, PbfWriter):
+                        for row in bit1:
+                            pbf1.write_row([row])
+                    else:
+                        pbf1.write_codes(bit1)
             except Exception as e:  # noqa: BLE001 - re-raised on main thread
                 worker_err.append(e)
                 return
@@ -238,6 +254,8 @@ def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,
         raise worker_err[0]
     out.close()
     pbf.close()
+    if pbf1 is not None:
+        pbf1.close()
     build_bcf_index(f"{prefix}.bcf", 14)
     return n
 

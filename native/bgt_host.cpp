@@ -2668,18 +2668,23 @@ struct BcfRecSource {
 struct ImportJob {
     BgzfOut bcf;
     void* pbfw = nullptr;
+    void* pbfw1 = nullptr;  // optional single-plane .pb1 (import.c:24,37)
     ImportResult* R = nullptr;
-    std::vector<uint8_t> rowbuf, shared;
+    std::vector<uint8_t> rowbuf, rowbuf1, shared;
     int64_t rowbuf_n = 0, kRowBatch = 1;
     int32_t row_kid = 0, n_samples = 0;
-    std::string pbf_path, bcf_path;
+    std::string pbf_path, bcf_path, pb1_path;
     bool failed = false;
 
     bool flush_rows() {
         if (rowbuf_n == 0) return true;
         if (bgt_pbf_writer_write(pbfw, rowbuf.data(), rowbuf_n) < 0)
             return false;
+        if (pbfw1 &&
+            bgt_pbf_writer_write(pbfw1, rowbuf1.data(), rowbuf_n) < 0)
+            return false;
         rowbuf.clear();
+        rowbuf1.clear();
         rowbuf_n = 0;
         return true;
     }
@@ -2708,6 +2713,12 @@ struct ImportJob {
         if (!bcf.write(w, 32)) return false;
         if (!bcf.write(shared.data(), shared.size())) return false;
         rowbuf.insert(rowbuf.end(), a.gt.begin(), a.gt.end());
+        if (pbfw1) {
+            size_t base = rowbuf1.size();
+            rowbuf1.resize(base + a.gt.size());
+            for (size_t i = 0; i < a.gt.size(); ++i)
+                rowbuf1[base + i] = a.gt[i] == 1;  // import.c:98
+        }
         if (++rowbuf_n >= kRowBatch && !flush_rows()) return false;
         R->rid.push_back(a.rid);
         R->pos.push_back(a.pos);
@@ -2841,10 +2852,11 @@ extern "C" {
 void* bgt_import_open(const char* pbf_path, const char* bcf_path,
                       const uint8_t* bcf_hdr_blob, int64_t hdr_len,
                       int32_t n_samples, int32_t clevel, int32_t row_kid,
-                      int32_t shift) {
+                      int32_t shift, const char* pb1_path) {
     auto* J = new ImportJob();
     J->pbf_path = pbf_path;
     J->bcf_path = bcf_path;
+    if (pb1_path && pb1_path[0]) J->pb1_path = pb1_path;
     J->row_kid = row_kid;
     J->n_samples = n_samples;
     // PBF rows batch up so the writer can encode both planes in parallel;
@@ -2855,8 +2867,10 @@ void* bgt_import_open(const char* pbf_path, const char* bcf_path,
     J->bcf.level = clevel;
     auto fail = [&]() -> void* {
         if (J->bcf.fp) fclose(J->bcf.fp);
+        if (J->pbfw) bgt_pbf_writer_close(J->pbfw);
         remove(bcf_path);
         remove(pbf_path);
+        if (!J->pb1_path.empty()) remove(J->pb1_path.c_str());
         delete J;
         return nullptr;
     };
@@ -2864,6 +2878,12 @@ void* bgt_import_open(const char* pbf_path, const char* bcf_path,
     if (!J->bcf.write(bcf_hdr_blob, (size_t)hdr_len)) return fail();
     J->pbfw = bgt_pbf_writer_open(pbf_path, n_samples * 2, 2, shift);
     if (!J->pbfw) return fail();
+    if (!J->pb1_path.empty()) {
+        // single-plane PBF, same geometry (import.c:74)
+        J->pbfw1 = bgt_pbf_writer_open(J->pb1_path.c_str(), n_samples * 2,
+                                       1, shift);
+        if (!J->pbfw1) return fail();
+    }
     J->R = new ImportResult();
     J->R->voff0 = J->bcf.vtell();
     return J;
@@ -2967,9 +2987,11 @@ void* bgt_import_finish(void* jobp) {
         J->bcf.fp = nullptr;
     }
     if (J->pbfw && bgt_pbf_writer_close(J->pbfw) != 0) ok = false;
+    if (J->pbfw1 && bgt_pbf_writer_close(J->pbfw1) != 0) ok = false;
     if (!ok) {
         remove(J->bcf_path.c_str());
         remove(J->pbf_path.c_str());
+        if (!J->pb1_path.empty()) remove(J->pb1_path.c_str());
         delete R;
         R = nullptr;
     }
@@ -2988,7 +3010,7 @@ void* bgt_import_text(const char* vcf_path, const char* pbf_path,
                       int32_t row_kid, int32_t end_defined,
                       int32_t cigar_defined, int32_t shift) {
     void* J = bgt_import_open(pbf_path, bcf_path, bcf_hdr_blob, hdr_len,
-                              n_samples, clevel, row_kid, shift);
+                              n_samples, clevel, row_kid, shift, nullptr);
     if (!J) return nullptr;
     bgt_import_add_text(J, vcf_path, contigs_cat, n_contigs, filters_cat,
                         filter_ids, n_filters, keep_flt, end_defined,
