@@ -532,6 +532,32 @@ struct EmitArgs {
 int64_t emit_range(const EmitArgs& A, int64_t lo, int64_t hi,
                    char* out_buf, int64_t out_cap) {
     static const char code_char[4] = {'0', '1', '.', '2'};
+    // identity-column fast path: one (plane0 byte, plane1 byte) lookup
+    // emits 4 diploid "\tX/Y" text cells (16 bytes) at once
+    static const char* kGtTextLut = [] {
+        char* t = new char[65536 * 16];
+        for (unsigned idx = 0; idx < 65536; ++idx) {
+            unsigned b0 = idx & 0xff, b1 = idx >> 8;
+            char* e = t + (size_t)idx * 16;
+            for (int k = 0; k < 4; ++k) {
+                unsigned c0 = ((b0 >> (2 * k)) & 1u) |
+                              (((b1 >> (2 * k)) & 1u) << 1);
+                unsigned c1 = ((b0 >> (2 * k + 1)) & 1u) |
+                              (((b1 >> (2 * k + 1)) & 1u) << 1);
+                e[k * 4 + 0] = '\t';
+                e[k * 4 + 1] = code_char[c0];
+                e[k * 4 + 2] = '/';
+                e[k * 4 + 3] = code_char[c1];
+            }
+        }
+        return t;
+    }();
+    bool gt_cols_identity = true;
+    for (int64_t k = 0; k < 2 * A.n_gt_pairs; ++k)
+        if (A.gt_cols && A.gt_cols[k] != k) {
+            gt_cols_identity = false;
+            break;
+        }
     const char* chrom_bytes = A.chrom_bytes;
     const int64_t* chrom_off = A.chrom_off;
     const int32_t* chrom_len = A.chrom_len;
@@ -617,17 +643,40 @@ int64_t emit_range(const EmitArgs& A, int64_t lo, int64_t hi,
             p = put_mem(p, "\tGT", 3);
             const uint32_t* r0 = gt_p0 + i * gt_words;
             const uint32_t* r1 = gt_p1 + i * gt_words;
-            for (int64_t s = 0; s < n_gt_pairs; ++s) {
-                uint32_t j0 = (uint32_t)gt_cols[2 * s];
-                uint32_t j1 = (uint32_t)gt_cols[2 * s + 1];
-                unsigned c0 = ((r0[j0 >> 5] >> (j0 & 31)) & 1u) |
-                              (((r1[j0 >> 5] >> (j0 & 31)) & 1u) << 1);
-                unsigned c1 = ((r0[j1 >> 5] >> (j1 & 31)) & 1u) |
-                              (((r1[j1 >> 5] >> (j1 & 31)) & 1u) << 1);
-                *p++ = '\t';
-                *p++ = code_char[c0];
-                *p++ = '/';
-                *p++ = code_char[c1];
+            if (gt_cols_identity) {
+                int64_t nb = n_gt_pairs >> 2;  // 4 sample pairs per byte
+                const uint8_t* b0 = (const uint8_t*)r0;
+                const uint8_t* b1 = (const uint8_t*)r1;
+                for (int64_t k = 0; k < nb; ++k) {
+                    memcpy(p, kGtTextLut +
+                               ((size_t)b0[k] | ((size_t)b1[k] << 8)) * 16,
+                           16);
+                    p += 16;
+                }
+                for (int64_t s = nb * 4; s < n_gt_pairs; ++s) {
+                    uint32_t j0 = (uint32_t)(2 * s), j1 = j0 + 1;
+                    unsigned c0 = ((r0[j0 >> 5] >> (j0 & 31)) & 1u) |
+                                  (((r1[j0 >> 5] >> (j0 & 31)) & 1u) << 1);
+                    unsigned c1 = ((r0[j1 >> 5] >> (j1 & 31)) & 1u) |
+                                  (((r1[j1 >> 5] >> (j1 & 31)) & 1u) << 1);
+                    *p++ = '\t';
+                    *p++ = code_char[c0];
+                    *p++ = '/';
+                    *p++ = code_char[c1];
+                }
+            } else {
+                for (int64_t s = 0; s < n_gt_pairs; ++s) {
+                    uint32_t j0 = (uint32_t)gt_cols[2 * s];
+                    uint32_t j1 = (uint32_t)gt_cols[2 * s + 1];
+                    unsigned c0 = ((r0[j0 >> 5] >> (j0 & 31)) & 1u) |
+                                  (((r1[j0 >> 5] >> (j0 & 31)) & 1u) << 1);
+                    unsigned c1 = ((r0[j1 >> 5] >> (j1 & 31)) & 1u) |
+                                  (((r1[j1 >> 5] >> (j1 & 31)) & 1u) << 1);
+                    *p++ = '\t';
+                    *p++ = code_char[c0];
+                    *p++ = '/';
+                    *p++ = code_char[c1];
+                }
             }
         }
         *p++ = '\n';
