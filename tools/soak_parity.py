@@ -140,27 +140,62 @@ def one_iter(seed: int) -> None:
             with_filter=rng.random() < 0.5,
         )
         vcf = testing.random_vcf(**kw)
-        src = tmp / "in.vcf"
-        if rng.random() < 0.3:
-            import gzip as gz
-            src = tmp / "in.vcf.gz"
-            with gz.open(src, "wt") as fp:
-                fp.write(vcf)
+        gen_pb1 = rng.random() < 0.2
+        pb1_args = ["-1"] if gen_pb1 else []
+        mode = rng.random()
+        is_vcf = True
+        if mode < 0.15:
+            # binary BCF input (the native BCF front-end)
+            src = tmp / "in.bcf"
+            testing.vcf_text_to_bcf(vcf, str(src))
+            srcs = [src]
+            ref_args = ["import"] + pb1_args + ["refdb", src.name]
+            is_vcf = None
+        elif mode < 0.30 and n_sites >= 6:
+            # multi-file append (position-sorted split)
+            head = [ln for ln in vcf.splitlines() if ln.startswith("#")]
+            body = [ln for ln in vcf.splitlines()
+                    if ln and not ln.startswith("#")]
+            half = rng.randint(1, len(body) - 1)
+            (tmp / "p1.vcf").write_text("\n".join(head + body[:half]) + "\n")
+            (tmp / "p2.vcf").write_text("\n".join(head + body[half:]) + "\n")
+            srcs = [tmp / "p1.vcf", tmp / "p2.vcf"]
+            if rng.random() < 0.4:
+                # mixed append: second file as BCF
+                testing.vcf_text_to_bcf("\n".join(head + body[half:]) + "\n",
+                                        str(tmp / "p2.bcf"))
+                srcs = [tmp / "p1.vcf", tmp / "p2.bcf"]
+                is_vcf = None
+            ref_args = (["import", "-S"] + pb1_args + ["refdb"]
+                        + [s.name for s in [tmp / "p1.vcf", tmp / "p2.vcf"]])
         else:
-            src.write_text(vcf)
-        res = subprocess.run([str(REF), "import", "-S", "refdb", src.name],
-                             cwd=tmp, capture_output=True)
+            src = tmp / "in.vcf"
+            if rng.random() < 0.3:
+                import gzip as gz
+                src = tmp / "in.vcf.gz"
+                with gz.open(src, "wt") as fp:
+                    fp.write(vcf)
+            else:
+                src.write_text(vcf)
+            srcs = [src]
+            ref_args = ["import", "-S"] + pb1_args + ["refdb", src.name]
+        res = subprocess.run([str(REF)] + ref_args, cwd=tmp,
+                             capture_output=True)
         if res.returncode != 0:
             # the reference occasionally aborts on valid synthetic input
             # (e.g. assert atomic.c:25, seen at seed 25508); our import
             # must still succeed — no comparison possible
-            importer.import_vcf(str(tmp / "ourdb"), [str(src)], is_vcf=True)
+            importer.import_vcf(str(tmp / "ourdb"),
+                                [str(s) for s in srcs], is_vcf=is_vcf,
+                                gen_pb1=gen_pb1)
             print(f"[soak] seed {seed}: reference import crashed "
                   f"({res.stderr.decode().splitlines()[-1][:90]}); ours ok",
                   flush=True)
             return
-        importer.import_vcf(str(tmp / "ourdb"), [str(src)], is_vcf=True)
-        for ext in (".bcf", ".pbf", ".spl"):
+        importer.import_vcf(str(tmp / "ourdb"), [str(s) for s in srcs],
+                            is_vcf=is_vcf, gen_pb1=gen_pb1)
+        exts = [".bcf", ".pbf", ".spl"] + ([".pb1"] if gen_pb1 else [])
+        for ext in exts:
             a = (tmp / f"ourdb{ext}").read_bytes()
             b = (tmp / f"refdb{ext}").read_bytes()
             assert a == b, (seed, kw, f"import {ext} divergence")
