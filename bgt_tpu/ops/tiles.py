@@ -66,10 +66,22 @@ class TileStore:
         self._map_spec = None  # (path, hdr_bytes) when memmap-backed
         # (n_rows, 4) int32 counts of codes 0..3 over all m columns — the
         # materialized aggregate behind all-samples AC/AN queries (the
-        # reference recounts per query, bgt.c:735-757)
+        # reference recounts per query, bgt.c:735-757).  Loaded stores keep
+        # the on-disk view and materialize lazily: a GT-only page against a
+        # 39.2M-row database must not read the 600 MB aggregate it never
+        # uses (set via _rowstats_src in :meth:`load`).
         if rowstats is None and self.is_shard:
             raise ValueError("shard stores carry the global rowstats")
-        self.rowstats = rowstats if rowstats is not None else self._calc_rowstats()
+        self._rowstats_src = None
+        self._rowstats = (rowstats if rowstats is not None
+                          else self._calc_rowstats())
+
+    @property
+    def rowstats(self) -> np.ndarray:
+        if self._rowstats is None and self._rowstats_src is not None:
+            self._rowstats = np.array(self._rowstats_src).reshape(
+                self.n_rows, 4)
+        return self._rowstats
 
     @property
     def plane0(self) -> np.ndarray:
@@ -257,20 +269,26 @@ class TileStore:
         plane_elems = n_rows * local_words
         data = np.memmap(path, dtype=np.uint32, mode="r", offset=hdr,
                          shape=(2 * plane_elems,))
-        stats = None
+        stats_src = None
         if magic != MAGIC_V1:
             raw = np.memmap(path, dtype=np.int32, mode="r",
                             offset=hdr + 8 * plane_elems)
             if raw.size >= 4 * n_rows:
-                # rowstats are small and hot: materialize them
-                stats = np.array(raw[: 4 * n_rows]).reshape(n_rows, 4)
+                stats_src = raw[: 4 * n_rows]
         plane0 = data[:plane_elems].reshape(n_rows, local_words)
         plane1 = data[plane_elems:].reshape(n_rows, local_words)
         if magic == MAGIC_SHARD:
-            ts = cls(n_rows, m, plane0, plane1, rowstats=stats,
+            ts = cls(n_rows, m, plane0, plane1,
+                     rowstats=stats_src.reshape(n_rows, 4),
                      n_words_global=n_words, word_offset=w0)
         else:
-            ts = cls(n_rows, m, plane0, plane1, rowstats=stats)
+            ts = cls(n_rows, m, plane0, plane1,
+                     rowstats=(stats_src.reshape(n_rows, 4)
+                               if stats_src is not None else None))
+        if stats_src is not None:
+            # defer materialization to first aggregate use (property)
+            ts._rowstats = None
+            ts._rowstats_src = stats_src
         ts._path = path
         ts._map_spec = (path, hdr)
         return ts

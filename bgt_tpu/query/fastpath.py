@@ -363,7 +363,7 @@ def get_device_tiles(bf: engine.BgtFile) -> DeviceTiles | None:
 
 
 def stream_counts(ts: TileStore, rows: np.ndarray, masks: np.ndarray,
-                  chunk_rows: int = 8192) -> np.ndarray:
+                  chunk_rows: int = 16384) -> np.ndarray:
     """Counts for arbitrary row sets by streaming host->HBM row chunks.
 
     jax dispatch is asynchronous, so the next chunk's host->device transfer
@@ -532,7 +532,21 @@ def reset_shard_context() -> None:
 
 def applicable(opt, bm: engine.BgtmReader) -> bool:
     # the whole view surface runs here, including the -S/-H accumulators
-    # (batched over the tile store, _accumulate_al_hap)
+    # (batched over the tile store, _accumulate_al_hap) — EXCEPT tiny
+    # unfiltered -i/-n pages against a cold site table: the streaming
+    # engine path (RNI seek + sequential reads, engine.read) answers those
+    # in milliseconds, while building the columnar table for a 39.2M-site
+    # database costs ~13 s (hrc_full measurement); long-lived processes
+    # (the server) still warm the table on their first non-page query
+    if (opt.n_rec is not None and opt.n_rec <= 4096
+            and bm.site_flt is None and bm.h_al is None and not bm.fields
+            and len(bm.bgt) == 1 and bm.bgt[0].bed is None
+            and getattr(opt, "max_gt", None) is None
+            and getattr(opt, "srv_max_read", None) is None):
+        with _CACHE_LOCK:
+            cold = _cache_key(bm.bgt[0].f) not in _SITE_CACHE
+        if cold:
+            return False
     return True
 
 
@@ -702,9 +716,14 @@ class _DbCtx:
         if resident:
             return "device"
         ts = self.ts
-        n_rows = ts.n_rows if memo_ok else int(rows[-1]) + 1 - int(rows[0])
-        # three masked-popcount passes over the row span per mask
-        work = n_rows * masks.shape[0] * ts.plane0.shape[1] * 4 * 3
+        # three masked-popcount passes over the ROW SPAN per mask: the
+        # tier choice must reflect the cheapest host option (region-only),
+        # not the full-range memo pass — at 1M+ rows the memo pass is 10x
+        # the region work and routing it to a non-resident device streams
+        # the planes through the transfer link instead (measured 20s vs
+        # ~1s host at the hrc_full shape)
+        span = int(rows[-1]) + 1 - int(rows[0])
+        work = span * masks.shape[0] * ts.plane0.shape[1] * 4 * 3
         budget = int(os.environ.get("BGT_TPU_HOST_WORK_MAX", 8 << 30))
         return "host" if work <= budget else "device"
 
@@ -746,6 +765,13 @@ class _DbCtx:
                                                      length))
             return counts[rows - start]
         if self._count_tier(rows, masks, memo_ok) == "host":
+            # memoize the full range only when that pass itself fits the
+            # host budget; otherwise serve the region alone (a one-shot
+            # query must not pay a 10x-larger pass to warm a memo)
+            import os
+            budget = int(os.environ.get("BGT_TPU_HOST_WORK_MAX", 8 << 30))
+            full_work = ts.n_rows * masks.shape[0] * ts.plane0.shape[1] * 12
+            memo_ok = memo_ok and full_work <= budget
             if (memo_ok or rows.size > ts.n_rows // 2) \
                     and ts.plane0.nbytes * 2 > 256 << 20:
                 ts.prefault()  # full-tile pass: avoid 4KiB fault-at-a-time
@@ -1141,20 +1167,34 @@ class FastView:
                 ctx.select_rows() if ctx.g.n_out > 0 else np.zeros(0, np.int64)
                 for ctx in self.dbs
             ]
+        # early truncation: an unfiltered single-DB -i/-n page only ever
+        # touches its first n_rec(+1) selected rows (the reference streams
+        # and breaks, view.c:151-156); materializing millions of rows for
+        # a 100-record page cost ~1 s at the 39.2M-site scale
+        if (opt.n_rec is not None and bm.site_flt is None
+                and bm.h_al is None and len(self.dbs) == 1
+                and getattr(opt, "max_gt", None) is None
+                and getattr(opt, "srv_max_read", None) is None):
+            rows_per_db = [rows_per_db[0][: opt.n_rec + 1]]
         with stage("merge"):
             mv = self._merge(rows_per_db)
         n_groups = bm.n_groups
+        info_on = bool(bm.flag & engine.F_SET_AC) or bm.site_flt is not None \
+            or bool(bm.fields) or n_groups > 1
 
-        # per-DB device counts, then merge with missing-fill (code 2)
+        # per-DB device counts, then merge with missing-fill (code 2);
+        # a query with no INFO/filter/table surface never needs them
         counts = np.zeros((mv.n, n_groups, 4), dtype=np.int64)
         for d, ctx in enumerate(self.dbs):
             if ctx.g.n_out == 0:
                 continue
-            masks = ctx.masks(n_groups)
             rows_d = rows_per_db[d]
+            bm.n_gt_read += int(rows_d.size) * ctx.g.n_out
+            if not info_on:
+                continue
+            masks = ctx.masks(n_groups)
             with stage(f"device-counts[{d}]"):
                 cd = ctx.counts_for(rows_d, masks, lambda: self.sharding)
-            bm.n_gt_read += int(rows_d.size) * ctx.g.n_out
             pres = mv.pres[:, d]
             if len(self.dbs) == 1:
                 counts += cd
@@ -1199,8 +1239,6 @@ class FastView:
                     ss = self._site_info(i, counts)
                     pass_mask[i] = bm.pass_site_flt(ss)
 
-        info_on = bool(bm.flag & engine.F_SET_AC) or bm.site_flt is not None \
-            or bool(bm.fields) or n_groups > 1
         no_gt = bool(bm.flag & engine.F_NO_GT)
 
         n_rec = opt.n_rec if opt.n_rec is not None else None
