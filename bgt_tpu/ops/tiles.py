@@ -311,6 +311,31 @@ class TileStore:
         except OSError:
             pass
 
+    def prefault_range(self, lo_row: int, hi_row: int) -> None:
+        """Sequentially warm the page cache for rows [lo_row, hi_row) of
+        BOTH planes (region-bounded :meth:`prefault`): a cold region
+        subset on a multi-GB tile otherwise faults 4 KiB at a time."""
+        path = getattr(self, "_path", None)
+        if path is None or self._map_spec is None:
+            return
+        hdr = self._map_spec[1]
+        row_bytes = (self.word_limit - self.word_offset) * 4
+        plane_bytes = self.n_rows * row_bytes
+        buf = bytearray(16 << 20)
+        try:
+            with open(path, "rb", buffering=0) as fp:
+                for base in (hdr, hdr + plane_bytes):
+                    fp.seek(base + lo_row * row_bytes)
+                    left = (hi_row - lo_row) * row_bytes
+                    while left > 0:
+                        n = fp.readinto(
+                            memoryview(buf)[: min(len(buf), left)])
+                        if not n:
+                            break
+                        left -= n
+        except OSError:
+            pass
+
     @classmethod
     def open_or_build(cls, prefix: str) -> "TileStore":
         """Load ``prefix.gtc`` if fresh, else build from ``prefix.pbf``.

@@ -752,6 +752,7 @@ class _DbCtx:
         if hit is not None:
             return hit[rows]
         memo_ok = ts.n_rows * masks.shape[0] * 16 <= _COUNT_MEMO_BYTES
+        span = int(rows[-1]) + 1 - int(rows[0])
         if ts.is_shard:
             sharding = sharding_cb() if sharding_cb is not None else None
             if sharding is None:
@@ -775,6 +776,9 @@ class _DbCtx:
             if (memo_ok or rows.size > ts.n_rows // 2) \
                     and ts.plane0.nbytes * 2 > 256 << 20:
                 ts.prefault()  # full-tile pass: avoid 4KiB fault-at-a-time
+            elif span * ts.plane0.shape[1] * 8 > 256 << 20:
+                # large region on a huge tile: warm just the row span
+                ts.prefault_range(int(rows[0]), int(rows[-1]) + 1)
             counts = host_counts(ts, np.arange(ts.n_rows) if memo_ok else rows,
                                  masks)
             if memo_ok:
@@ -783,7 +787,6 @@ class _DbCtx:
                 return counts[rows]
             return counts
         start = int(rows[0])
-        span = int(rows[-1]) + 1 - start
         if memo_ok:
             start, span = 0, ts.n_rows
         sharding = sharding_cb() if sharding_cb is not None else None

@@ -73,7 +73,7 @@ else:
     call = lambda: fn(d0, d1, dm, 0, rows)
 np.asarray(call())  # warm: compile + first readback
 best = float("inf")
-for _ in range(3):
+for _ in range(2):
     t0 = time.perf_counter()
     np.asarray(call())  # production sync: counts come back to the host
     best = min(best, time.perf_counter() - t0)
@@ -236,7 +236,7 @@ def main() -> dict:
     # crossover: smallest row count where the 2-device mesh beats 1 device
     cross = {}
     crossover = None
-    for rows in (8192, 32768, 131072, 262144):
+    for rows in (8192, 131072):
         a = run_device(1, 2048, rows)
         b = run_device(2, 2048, rows)
         cross[str(rows)] = {"t1": round(a, 6), "t2": round(b, 6)}
