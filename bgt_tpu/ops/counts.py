@@ -86,11 +86,12 @@ def count_codes(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:
     returns (rows, groups, 4) int32: counts of codes 0..3.
 
     Groups are unrolled statically (<=33) so no (rows, groups, words)
-    intermediate is ever materialized.  XLA:TPU fuses the whole unroll into
-    ONE pass over the planes: measured on v5e at the bench shape
-    (105730x157 words), 32 groups run in the same 0.057 ms as 1 group
-    (~2.3 TB/s effective — the planes are read from HBM once and all
-    group masks apply in registers).
+    intermediate is ever materialized; XLA:TPU fuses the unroll into one
+    pass over the planes.  Measured device-side throughput is recorded in
+    every bench run (BENCH_r*.json `device_kernel`:
+    count_bw_gbs_{1,32}mask_pipelined — e.g. 165 GB/s / 653 G genotypes/s
+    at the hrc shape on the round-4 chip; absolute numbers vary by chip
+    generation).
     """
     pc = jax.lax.population_count
     both = p0 & p1
