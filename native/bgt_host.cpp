@@ -2910,8 +2910,12 @@ void* bgt_import_open(const char* pbf_path, const char* bcf_path,
     J->n_samples = n_samples;
     // PBF rows batch up so the writer can encode both planes in parallel;
     // without a third core that parallelism never engages and the batch
-    // copies are pure overhead, so flush per row there
-    J->kRowBatch = std::thread::hardware_concurrency() >= 3 ? 256 : 1;
+    // copies are pure overhead for wide rows, so flush per row there —
+    // EXCEPT narrow matrices (few samples, e.g. the 39.2M-row site-scale
+    // case), where the per-call overhead dwarfs the tiny row copies
+    int64_t by_width = (int64_t)(1 << 16) / std::max(1, n_samples * 2);
+    J->kRowBatch = std::max<int64_t>(
+        by_width, std::thread::hardware_concurrency() >= 3 ? 256 : 1);
     J->bcf.fp = fopen(bcf_path, "wb");
     J->bcf.level = clevel;
     auto fail = [&]() -> void* {
