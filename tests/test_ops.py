@@ -284,3 +284,27 @@ def test_cost_based_count_tier(tmp_path, ref_bgt, monkeypatch):
     finally:
         os.chdir(old)
     assert buf.getvalue() == ref
+
+
+def test_mesh2_counts_parity():
+    """2-axis (site x sample) mesh counts equal the single-device kernel
+    for both (2,4) and (4,2) layouts, including row/column padding."""
+    import jax
+    import numpy as np
+    from bgt_tpu.ops import counts as counts_ops
+    from bgt_tpu.parallel import mesh as meshlib
+
+    rng = np.random.default_rng(19)
+    rows, words = 37, 24  # deliberately unaligned to both axes
+    p0 = rng.integers(0, 2**32, (rows, words), dtype=np.uint32)
+    p1 = rng.integers(0, 2**32, (rows, words), dtype=np.uint32)
+    masks = rng.integers(0, 2**32, (3, words), dtype=np.uint32)
+    want = np.asarray(counts_ops.count_codes(
+        jax.numpy.asarray(p0), jax.numpy.asarray(p1),
+        jax.numpy.asarray(masks)))
+    for r_axis in (2, 4):
+        mesh = meshlib.make_mesh2(r_axis)
+        d0, d1, dm = meshlib.shard_planes2(mesh, p0, p1, masks)
+        got = np.asarray(meshlib.sharded_count2_fn(mesh)(d0, d1, dm))
+        assert got.shape[0] >= rows
+        assert np.array_equal(got[:rows], want), r_axis
