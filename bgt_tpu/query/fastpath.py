@@ -724,7 +724,11 @@ class _DbCtx:
         # ~1s host at the hrc_full shape)
         span = int(rows[-1]) + 1 - int(rows[0])
         work = span * masks.shape[0] * ts.plane0.shape[1] * 4 * 3
-        budget = int(os.environ.get("BGT_TPU_HOST_WORK_MAX", 8 << 30))
+        # 64 GiB default: the threaded native popcount sustains ~5 GB/s, so
+        # even the budget's worst case is ~12s on the host — always better
+        # than cold-streaming a multi-GB tile through a tunneled transfer
+        # link; deployments with local chips can lower this
+        budget = int(os.environ.get("BGT_TPU_HOST_WORK_MAX", 64 << 30))
         return "host" if work <= budget else "device"
 
     def counts_for(self, rows: np.ndarray, masks: np.ndarray,
@@ -766,13 +770,15 @@ class _DbCtx:
                                                      length))
             return counts[rows - start]
         if self._count_tier(rows, masks, memo_ok) == "host":
-            # memoize the full range only when that pass itself fits the
-            # host budget; otherwise serve the region alone (a one-shot
-            # query must not pay a 10x-larger pass to warm a memo)
+            # memoize the full range only when that pass is itself cheap
+            # (separate, smaller budget than the host-vs-device tier cut:
+            # a one-shot query must not pay a 10x-larger pass to warm a
+            # memo, but a ~1s full pass buys all later subset queries)
             import os
-            budget = int(os.environ.get("BGT_TPU_HOST_WORK_MAX", 8 << 30))
+            memo_budget = int(os.environ.get("BGT_TPU_MEMO_WORK_MAX",
+                                             8 << 30))
             full_work = ts.n_rows * masks.shape[0] * ts.plane0.shape[1] * 12
-            memo_ok = memo_ok and full_work <= budget
+            memo_ok = memo_ok and full_work <= memo_budget
             if (memo_ok or rows.size > ts.n_rows // 2) \
                     and ts.plane0.nbytes * 2 > 256 << 20:
                 ts.prefault()  # full-tile pass: avoid 4KiB fault-at-a-time
