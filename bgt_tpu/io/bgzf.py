@@ -134,12 +134,25 @@ class BgzfWriter:
             # a segment already failed mid-stream: the output is truncated
             # at that segment, so silently continuing would corrupt it
             raise self._swriter_exc[0]
+        if getattr(self, "_sfinished", False):
+            # the worker already exited (flush-after-flush): compress
+            # synchronously so late writes are never silently dropped
+            if n:
+                out = self._native.bgzf_deflate(
+                    memoryview(self._buf)[:n], self._level, self._threads)
+                if out is None:
+                    raise RuntimeError("native bgzf deflate failed")
+                del self._buf[:n]
+                self._fp.write(memoryview(out))
+                self._block_address += out.size
+            return
         if n:
             self._squeue.put(bytes(memoryview(self._buf)[:n]))
             del self._buf[:n]
         if final:
             self._squeue.put(None)
             self._swriter.join()
+            self._sfinished = True
             if self._swriter_exc:
                 raise self._swriter_exc[0]
 

@@ -68,3 +68,23 @@ def test_csi_push_batch_matches_scalar_push():
             assert a.bidx[i] == b.bidx[i], (trial, i)
             assert a.loff[i] == b.loff[i]
             assert a.lidx[i] == b.lidx[i]
+
+
+def test_bgzf_writer_flush_then_write():
+    """A mid-stream flush must not lose later writes (the native pipeline's
+    worker exits at flush; late data compresses synchronously)."""
+    import io
+    import numpy as np
+    from bgt_tpu.io.bgzf import BLOCK_SIZE, BgzfReader, BgzfWriter
+
+    rng = np.random.default_rng(1)
+    d1 = rng.integers(0, 8, 3 * BLOCK_SIZE + 777, dtype=np.uint8).tobytes()
+    d2 = rng.integers(0, 8, 2 * BLOCK_SIZE + 33, dtype=np.uint8).tobytes()
+    buf = io.BytesIO()
+    w = BgzfWriter(buf, level=1, threads=4)
+    w.write(d1)
+    w.flush()
+    w.write(d2)
+    w.close()
+    buf.seek(0)
+    assert BgzfReader(buf).read(len(d1) + len(d2) + 10) == d1 + d2
