@@ -308,3 +308,44 @@ def test_mesh2_counts_parity():
         got = np.asarray(meshlib.sharded_count2_fn(mesh)(d0, d1, dm))
         assert got.shape[0] >= rows
         assert np.array_equal(got[:rows], want), r_axis
+
+
+def test_shard_crossover_gate(tmp_path, monkeypatch):
+    """Below BGT_TPU_SHARD_MIN_ROWS an in-process mesh query must route to
+    a single device (no plane placement on the mesh), with identical
+    bytes; forcing the gate to 0 places the planes."""
+    import io
+    import os
+    from bgt_tpu import testing
+    from bgt_tpu.query import importer, fastpath
+    from bgt_tpu.query.view import main_view
+    vcf = testing.random_vcf(n_samples=12, n_sites=80, seed=77)
+    (tmp_path / "in.vcf").write_text(vcf)
+    importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+
+    def run():
+        fastpath.reset_shard_context()
+        fastpath._COUNT_MEMO.clear()
+        buf = io.StringIO()
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            assert main_view(["-G", "-C", "-s", ",S0001,S0003", "db"],
+                             out=buf) == 0
+        finally:
+            os.chdir(old)
+        ctx = fastpath.get_shard_context()
+        placed = len(ctx._planes) if ctx is not None else 0
+        fastpath.reset_shard_context()
+        return buf.getvalue(), placed
+
+    monkeypatch.setenv("BGT_TPU_COUNT_TIER", "device")
+    # default gate (65536) >> 80 rows: single-device path, nothing placed
+    out_gated, placed_gated = run()
+    assert placed_gated == 0, "small query placed planes on the mesh"
+    # gate off: the mesh serves the same bytes
+    monkeypatch.setenv("BGT_TPU_SHARD_MIN_ROWS", "0")
+    out_mesh, placed_mesh = run()
+    assert placed_mesh == 1, "mesh path did not engage with the gate off"
+    assert out_gated == out_mesh
