@@ -184,7 +184,17 @@ class BgzfWriter:
             self._drain(0)
 
     def tell(self) -> int:
-        """Virtual file offset of the current write position."""
+        """Virtual file offset of the current write position.
+
+        Only meaningful in the synchronous mode: with a native/threaded
+        compressor active, ``_block_address`` is advanced by a background
+        worker and ``_buf`` can exceed a block, so the value would be racy
+        garbage — refuse rather than mislead.
+        """
+        if self._native is not None or self._pool is not None:
+            raise RuntimeError(
+                "BgzfWriter.tell() is undefined while a threaded/native "
+                "compressor is active; flush() first or open with threads=0")
         return (self._block_address << 16) | (len(self._buf) & 0xFFFF)
 
     def close(self) -> None:

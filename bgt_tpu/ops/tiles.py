@@ -278,8 +278,12 @@ class TileStore:
         plane0 = data[:plane_elems].reshape(n_rows, local_words)
         plane1 = data[plane_elems:].reshape(n_rows, local_words)
         if magic == MAGIC_SHARD:
+            # a truncated shard file leaves stats_src None; let the
+            # constructor raise its intended ValueError rather than an
+            # AttributeError on .reshape
             ts = cls(n_rows, m, plane0, plane1,
-                     rowstats=stats_src.reshape(n_rows, 4),
+                     rowstats=(stats_src.reshape(n_rows, 4)
+                               if stats_src is not None else None),
                      n_words_global=n_words, word_offset=w0)
         else:
             ts = cls(n_rows, m, plane0, plane1,

@@ -113,8 +113,16 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
             rid_map = np.array(
                 [out_ctg.get(name, -1) for name, _ii
                  in src_h.ids[bcflib.BCF_DT_CTG]], dtype=np.int32)
+            # PASS is dictionary id 0 in any spec-conforming header, but a
+            # legal nonstandard header may place it elsewhere — resolve it
+            # (vcf.c guarantees the implicit definition; a header where PASS
+            # is genuinely absent falls back to the Python importer)
+            pass_fid = src_h.id2int(bcflib.BCF_DT_ID, "PASS")
+            if pass_fid < 0 and not keep_filtered:
+                ok = False
+                break
             ok = native.import_add_bcf(job, fn, rid_map, gt_kid, cigar_kid,
-                                       0, keep_filtered)
+                                       pass_fid, keep_filtered)
         if not ok:
             break
     if not ok:
@@ -134,11 +142,22 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
         s <<= 3
     idx = HtsIndex(h0.n(bcflib.BCF_DT_CTG), 14, n_lvls, offset0=voff0)
     # vectorized CSI construction (the per-record Python push cost ~2.5 µs
-    # each — ~100 s at the 39M-row HRC shape; VERDICT r3 next #3)
-    if n:
-        idx.push_batch(rid, pos, end, voff)
-    idx.finish(os.path.getsize(f"{prefix}.bcf") << 16)
-    idx.save(f"{prefix}.bcf")
+    # each — ~100 s at the 39M-row HRC shape; VERDICT r3 next #3).  A CSI
+    # failure here (e.g. atoms out of order across a multi-file append) must
+    # not leave an unindexed half-built database: remove the outputs and let
+    # the caller fall back to the Python importer.
+    try:
+        if n:
+            idx.push_batch(rid, pos, end, voff)
+        idx.finish(os.path.getsize(f"{prefix}.bcf") << 16)
+        idx.save(f"{prefix}.bcf")
+    except Exception:
+        for suf in (".bcf", ".bcf.csi", ".pbf", ".pb1"):
+            try:
+                os.remove(prefix + suf)
+            except OSError:
+                pass
+        return None
     return n
 
 
