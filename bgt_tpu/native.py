@@ -149,6 +149,8 @@ def get_lib():
     lib.bgt_import_voff0.argtypes = [ctypes.c_void_p]
     lib.bgt_import_meta.restype = None
     lib.bgt_import_meta.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+    lib.bgt_import_sites.restype = None
+    lib.bgt_import_sites.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
     lib.bgt_import_free.restype = None
     lib.bgt_import_free.argtypes = [ctypes.c_void_p]
     lib.bgt_merge_sites.restype = ctypes.c_void_p
@@ -662,7 +664,10 @@ def import_text(vcf_path: str, pbf_path: str, bcf_path: str,
 
 def _import_result(lib, h):
     """Unpack + free an ImportResult handle -> (n, rid, pos, end, voff,
-    voff0) or None."""
+    voff0, sites) or None.  ``sites`` is the dict of site-table sidecar
+    columns (rlen, n_allele, ref_len, alt_len, ref_cat, alt_cat) collected
+    while emitting, so the importer can write ``.sites.npz`` without
+    re-scanning the BCF it just wrote."""
     import numpy as np
     if not h:
         return None
@@ -676,16 +681,38 @@ def _import_result(lib, h):
         lib.bgt_import_meta(h, ctypes.byref(p_rid), ctypes.byref(p_pos),
                             ctypes.byref(p_end), ctypes.byref(p_voff))
 
-        def arr(ptr, dtype):
-            if n == 0:
+        def arr(ptr, dtype, cnt=None):
+            cnt = n if cnt is None else cnt
+            if cnt == 0:
                 return np.zeros(0, dtype=dtype)
             ct = np.ctypeslib.as_array(
                 ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
-                shape=(n * np.dtype(dtype).itemsize,))
+                shape=(cnt * np.dtype(dtype).itemsize,))
             return ct.view(dtype).copy()
 
+        p_rlen = ctypes.c_void_p()
+        p_nal = ctypes.c_void_p()
+        p_rl = ctypes.c_void_p()
+        p_al = ctypes.c_void_p()
+        p_rc = ctypes.c_void_p()
+        p_ac = ctypes.c_void_p()
+        rc_len = ctypes.c_int64()
+        ac_len = ctypes.c_int64()
+        lib.bgt_import_sites(h, ctypes.byref(p_rlen), ctypes.byref(p_nal),
+                             ctypes.byref(p_rl), ctypes.byref(p_al),
+                             ctypes.byref(p_rc), ctypes.byref(rc_len),
+                             ctypes.byref(p_ac), ctypes.byref(ac_len))
+        sites = {
+            "rlen": arr(p_rlen, np.int64),
+            "n_allele": arr(p_nal, np.int32),
+            "ref_len": arr(p_rl, np.int64),
+            "alt_len": arr(p_al, np.int64),
+            "ref_cat": arr(p_rc, np.uint8, int(rc_len.value)),
+            "alt_cat": arr(p_ac, np.uint8, int(ac_len.value)),
+        }
         return (int(n), arr(p_rid, np.int32), arr(p_pos, np.int64),
-                arr(p_end, np.int64), arr(p_voff, np.uint64), int(voff0))
+                arr(p_end, np.int64), arr(p_voff, np.uint64), int(voff0),
+                sites)
     finally:
         lib.bgt_import_free(h)
 

