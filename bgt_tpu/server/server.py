@@ -74,17 +74,32 @@ def help_text(cfg: ServerConfig, host: str) -> str:
     return "\n".join(out) + "\n"
 
 
-class _ChunkWriter:
-    """Text-IO-shaped sink collecting byte chunks (fastpath writes both text
-    and raw chunk views through ``.buffer``)."""
+class _ClientGone(BaseException):
+    """Raised inside the producer when the consumer abandoned the stream."""
 
-    def __init__(self):
-        self.chunks: list[bytes] = []
+
+class _StreamWriter:
+    """Text-IO-shaped sink pushing byte chunks into a bounded queue.
+
+    The fastpath engine runs in a worker thread and writes here; the HTTP
+    generator drains the queue, so bytes reach the client while the query
+    is still decoding and peak memory is bounded by the queue, not the
+    response size (reference bgt-server.go:330-352 streams per record;
+    VERDICT r4 next #6).
+    """
+
+    _DONE = object()
+
+    def __init__(self, maxsize: int = 64):
+        import queue
+        self.q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self.stopped = False  # set by the consumer on client disconnect
+        self._full_exc = queue.Full
         outer = self
 
         class _B:
             def write(self, data):
-                outer.chunks.append(bytes(data))
+                outer._put(bytes(data))
                 return len(data)
 
             def flush(self):
@@ -92,12 +107,33 @@ class _ChunkWriter:
 
         self.buffer = _B()
 
+    def _put(self, item) -> None:
+        while True:
+            if self.stopped:
+                raise _ClientGone()
+            try:
+                self.q.put(item, timeout=0.1)
+                return
+            except self._full_exc:
+                continue
+
     def write(self, s: str) -> int:
-        self.chunks.append(s.encode("latin-1"))
+        self._put(s.encode("latin-1"))
         return len(s)
 
     def flush(self) -> None:
         pass
+
+    def close_producer(self) -> None:
+        self._put(self._DONE)
+
+    def drain(self):
+        """Yield chunks until the producer signals completion."""
+        while True:
+            item = self.q.get()
+            if item is self._DONE:
+                return
+            yield item
 
 
 def run_query(cfg: ServerConfig, form: dict):
@@ -183,12 +219,32 @@ def run_query(cfg: ServerConfig, form: dict):
     opt.not_vcf = not vcf_out
 
     def gen_fast():
+        import threading
+        w = _StreamWriter()
+        err: list[BaseException] = []
+
+        def work():
+            try:
+                fastpath.FastView(bm, opt).run(w)
+            except _ClientGone:
+                pass
+            except BaseException as e:  # noqa: BLE001 - reported via err
+                err.append(e)
+            finally:
+                try:
+                    w.close_producer()
+                except _ClientGone:
+                    pass
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="bgt-stream-producer")
         try:
             if vcf_out:
                 yield (bm.h_out.text + "\n").encode("latin-1")
-            w = _ChunkWriter()
-            fastpath.FastView(bm, opt).run(w)
-            yield from w.chunks
+            t.start()
+            yield from w.drain()
+            if err:
+                raise err[0]
             if not vcf_out and len(bm.aal) > 0:
                 if flag & F_CNT_HAP:
                     yield bm.hapcnt_print().encode("latin-1")
@@ -197,6 +253,11 @@ def run_query(cfg: ServerConfig, form: dict):
             if bm.truncated:
                 yield b"*\n"
         finally:
+            # client gone or done: release the producer (it checks
+            # ``stopped`` on every put) before closing the readers it uses
+            w.stopped = True
+            if t.is_alive() or t.ident is not None:
+                t.join(timeout=10.0)
             bm.close()
 
     return 200, gen_fast()
@@ -250,6 +311,11 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"0\r\n\r\n")
         except BrokenPipeError:
             pass
+        finally:
+            # deterministically release the producer thread + readers
+            close = getattr(chunks, "close", None)
+            if close is not None:
+                close()
 
     def _send_whole(self, status: int, data: bytes) -> None:
         self.send_response(status)

@@ -297,3 +297,82 @@ def test_server_alcnt_hapcnt(served_db, ref_bgt):
     status, body = fetch(port, f"?a=,{pick}&S=1&n={n_lim}")
     assert status == 200
     assert body == want
+
+
+def test_response_streams_before_query_completes(served_db, monkeypatch):
+    """Bytes reach the client while FastView.run is still producing: the
+    first chunk must arrive over HTTP while the producer is deliberately
+    blocked, proving per-chunk streaming rather than a buffered handoff
+    (VERDICT r4 next #6; reference bgt-server.go:330-352)."""
+    import http.client
+    import threading
+
+    tmp, port, cfg = served_db
+    release = threading.Event()
+    finished = threading.Event()
+
+    class _SlowView:
+        def __init__(self, bm, opt):
+            pass
+
+        def run(self, w):
+            w.write("first-chunk\n")
+            assert release.wait(timeout=30.0), "consumer never saw chunk 1"
+            w.write("second-chunk\n")
+            finished.set()
+
+    from bgt_tpu.query import fastpath
+    monkeypatch.setattr(fastpath, "FastView", _SlowView)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/?r=11:10000-100000&C=1")
+    resp = conn.getresponse()
+    # read the VCF header chunk + the first data chunk while the producer
+    # is still blocked inside run()
+    got = b""
+    while b"first-chunk" not in got:
+        got += resp.read1(65536)
+    assert not finished.is_set(), "producer finished before first byte read"
+    release.set()
+    rest = resp.read()
+    assert b"second-chunk" in rest
+    assert finished.is_set()
+    conn.close()
+
+
+def test_client_disconnect_releases_producer(served_db, monkeypatch):
+    """An abandoned connection must unblock the producer thread (the
+    bounded-queue put loop checks the stop flag) instead of leaking it."""
+    import http.client
+    import threading
+    import time as _time
+
+    tmp, port, cfg = served_db
+    state = {"aborted": False}
+    started = threading.Event()
+
+    class _Flood:
+        def __init__(self, bm, opt):
+            pass
+
+        def run(self, w):
+            started.set()
+            try:
+                while True:  # far more than the queue bound
+                    w.write("x" * 65536 + "\n")
+            except BaseException:
+                state["aborted"] = True
+                raise
+
+    from bgt_tpu.query import fastpath
+    monkeypatch.setattr(fastpath, "FastView", _Flood)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/?r=11:10000-100000&C=1")
+    resp = conn.getresponse()
+    resp.read1(1024)
+    assert started.wait(timeout=10.0)
+    conn.close()  # abandon mid-stream
+    for _ in range(200):
+        if state["aborted"]:
+            break
+        _time.sleep(0.05)
+    assert state["aborted"], "producer still blocked after client disconnect"
