@@ -6,8 +6,9 @@ chunk-list region queries, and the non-standard ``RNI\\1`` footer storing the
 BGZF virtual offset of every ``2^rec_shift``-th record, which enables
 "seek to the i-th record" paging (hts.c:394-400, 536-542, 902-907).
 
-The on-disk CSI payload is written in sorted-bin order (the reference writes
-hash-table order; CSI readers, including the reference's, accept any order).
+The on-disk CSI payload is written in the reference's khash iteration order
+(via the :class:`_KhashLayout` simulator), so `.csi` files are byte-identical
+to the reference's — whole-database md5 comparison passes on all four files.
 """
 
 from __future__ import annotations
@@ -68,6 +69,99 @@ def reg2bins(beg: int, end: int, min_shift: int, n_lvls: int) -> list[int]:
     return out
 
 
+class _KhashLayout:
+    """khash.h bucket-layout simulator for int keys (reference khash.h).
+
+    Replays the reference's kh_put sequence (distinct keys in first-put
+    order — duplicate puts never change the layout when nothing has been
+    deleted) so :meth:`HtsIndex.save` can emit bins in the exact hash-table
+    iteration order the reference writes (hts.c:465-476), making the .csi
+    byte-identical.  Faithful details: kh_int_hash_func(key)=key, double
+    hashing inc=((k>>3 ^ k<<3)|1)&mask, 0.77 upper bound, kroundup32 table
+    sizes (min 4), and the in-place kick-out rehash whose insertion order
+    differs from a plain scan (khash.h:214-269).
+    """
+
+    _EMPTY, _DEL, _OCC = 2, 1, 0
+
+    def __init__(self):
+        self.n_buckets = 0
+        self.size = 0  # == n_occupied: no deletions during the put phase
+        self.upper_bound = 0
+        self.flags: list[int] = []
+        self.keys: list[int] = []
+
+    @staticmethod
+    def _inc(k: int, mask: int) -> int:
+        return (((k >> 3) ^ ((k << 3) & 0xFFFFFFFF)) | 1) & mask
+
+    def _resize(self, new_n: int) -> None:
+        # kroundup32, min 4 (khash.h:219-220)
+        if new_n > 0:
+            n = new_n - 1
+            n |= n >> 1
+            n |= n >> 2
+            n |= n >> 4
+            n |= n >> 8
+            n |= n >> 16
+            new_n = n + 1
+        if new_n < 4:
+            new_n = 4
+        if self.size >= int(new_n * 0.77 + 0.5):
+            return  # requested size too small
+        old_n = self.n_buckets
+        if old_n < new_n:
+            self.keys.extend([0] * (new_n - old_n))
+        new_flags = [self._EMPTY] * new_n
+        mask = new_n - 1
+        for j in range(old_n):
+            if self.flags[j] != self._OCC:
+                continue
+            key = self.keys[j]
+            self.flags[j] = self._DEL
+            while True:  # kick-out process (khash.h:240-257)
+                k = key & 0xFFFFFFFF
+                i = k & mask
+                inc = self._inc(k, mask)
+                while new_flags[i] != self._EMPTY:
+                    i = (i + inc) & mask
+                new_flags[i] = self._OCC
+                if i < old_n and self.flags[i] == self._OCC:
+                    self.keys[i], key = key, self.keys[i]
+                    self.flags[i] = self._DEL
+                else:
+                    self.keys[i] = key
+                    break
+        del self.keys[new_n:]
+        self.flags = new_flags
+        self.n_buckets = new_n
+        self.upper_bound = int(new_n * 0.77 + 0.5)
+
+    def put(self, key: int) -> None:
+        if self.size >= self.upper_bound:
+            if self.n_buckets > (self.size << 1):
+                self._resize(self.n_buckets - 1)
+            else:
+                self._resize(self.n_buckets + 1)
+        mask = self.n_buckets - 1
+        k = key & 0xFFFFFFFF
+        i = k & mask
+        if self.flags[i] != self._EMPTY:
+            inc = self._inc(k, mask)
+            while (self.flags[i] != self._EMPTY
+                   and (self.flags[i] == self._DEL or self.keys[i] != key)):
+                i = (i + inc) & mask
+        if self.flags[i] == self._EMPTY:
+            self.keys[i] = key
+            self.flags[i] = self._OCC
+            self.size += 1
+
+    def order(self) -> list[int]:
+        """Keys in bucket-iteration order (kh_begin..kh_end)."""
+        return [self.keys[i] for i in range(self.n_buckets)
+                if self.flags[i] == self._OCC]
+
+
 class HtsIndex:
     """Binning + linear + record-number index for one BGZF-compressed BCF."""
 
@@ -80,6 +174,9 @@ class HtsIndex:
         self.bidx: list[dict[int, list]] = [dict() for _ in range(n_ctg)]
         self.lidx: list[list[int]] = [[] for _ in range(n_ctg)]
         self.loff: list[dict[int, int]] = [dict() for _ in range(n_ctg)]
+        # distinct bins per contig in first-put order, INCLUDING bins later
+        # deleted by the merge pass — the khash layout replay needs them
+        self._bin_order: list[list[int]] = [[] for _ in range(n_ctg)]
         self.ridx: list[int] = []
         self.n_rec = 0
         self.n_no_coor = 0
@@ -95,7 +192,10 @@ class HtsIndex:
     # --- construction ------------------------------------------------------
 
     def _insert_b(self, tid: int, b: int, beg: int, end: int) -> None:
-        self.bidx[tid].setdefault(b, []).append((beg, end))
+        if b not in self.bidx[tid]:
+            self.bidx[tid][b] = []
+            self._bin_order[tid].append(b)
+        self.bidx[tid][b].append((beg, end))
 
     def _insert_l(self, tid: int, beg: int, end: int, offset: int) -> None:
         l = self.lidx[tid]
@@ -113,6 +213,7 @@ class HtsIndex:
             self.bidx.append(dict())
             self.lidx.append([])
             self.loff.append(dict())
+            self._bin_order.append([])
         if self.n < tid + 1:
             self.n = tid + 1
         if tid < 0:
@@ -188,6 +289,7 @@ class HtsIndex:
             self.bidx.append(dict())
             self.lidx.append([])
             self.loff.append(dict())
+            self._bin_order.append([])
         self.n = max(self.n, int(tid.max()) + 1)
         off_before = np.empty(n, np.uint64)
         off_before[0] = self._last_off
@@ -220,7 +322,11 @@ class HtsIndex:
         bl = bins[starts].tolist()
         tl = tid[starts].tolist()
         for k in range(starts.size):
-            self.bidx[tl[k]].setdefault(bl[k], []).append((u[k], v[k]))
+            d = self.bidx[tl[k]]
+            if bl[k] not in d:
+                d[bl[k]] = []
+                self._bin_order[tl[k]].append(bl[k])
+            d[bl[k]].append((u[k], v[k]))
 
         # per-tid meta pseudo-bin: file span + (n_mapped, n_unmapped)
         tstarts = np.nonzero(new_tid)[0]
@@ -229,7 +335,10 @@ class HtsIndex:
         tends[-1] = n - 1
         for k in range(tstarts.size):
             i = int(tid[tstarts[k]])
-            m = self.bidx[i].setdefault(self.n_bins + 1, [])
+            if self.n_bins + 1 not in self.bidx[i]:
+                self.bidx[i][self.n_bins + 1] = []
+                self._bin_order[i].append(self.n_bins + 1)
+            m = self.bidx[i][self.n_bins + 1]
             # all but the last tid's span closes here; the last closes in
             # finish() at the final offset, exactly like the push builder
             if k < tstarts.size - 1:
@@ -363,6 +472,23 @@ class HtsIndex:
 
     # --- save / load -------------------------------------------------------
 
+    def _bins_in_hash_order(self, i: int) -> list[int]:
+        """Bins of contig ``i`` in the reference's khash iteration order.
+
+        Replays the first-put sequence (including bins later deleted by the
+        merge pass — they leave tombstones that do not reorder survivors)
+        through the layout simulator, then drops deleted bins.  Falls back
+        to dict order when the put order was not recorded (e.g. an index
+        populated by :meth:`load`)."""
+        order = self._bin_order[i] if i < len(self._bin_order) else None
+        bidx = self.bidx[i]
+        if not order:
+            order = list(bidx)
+        kh = _KhashLayout()
+        for b in order:
+            kh.put(b)
+        return [b for b in kh.order() if b in bidx]
+
     def save(self, fn: str) -> None:
         with BgzfWriter(fn + ".csi") as fp:
             fp.write(b"CSI\x01")
@@ -371,7 +497,7 @@ class HtsIndex:
             for i in range(self.n):
                 bidx = self.bidx[i]
                 fp.write(struct.pack("<i", len(bidx)))
-                for b in sorted(bidx):
+                for b in self._bins_in_hash_order(i):
                     fp.write(struct.pack("<IQ", b, self.loff[i].get(b, 0)))
                     chunks = bidx[b]
                     fp.write(struct.pack("<i", len(chunks)))
