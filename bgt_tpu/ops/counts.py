@@ -78,20 +78,13 @@ def warmup_transfers_async() -> None:
 
 
 @jax.jit
-def count_codes(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:
-    """Per-row, per-group genotype-code counts.
-
-    p0, p1: (rows, words) uint32 packed planes.
-    masks:  (groups, words) uint32 column masks.
-    returns (rows, groups, 4) int32: counts of codes 0..3.
+def _count_codes_jnp(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:
+    """XLA-fusion formulation of the masked-popcount count (the oracle and
+    the fallback for shapes/backends the Pallas kernel does not cover).
 
     Groups are unrolled statically (<=33) so no (rows, groups, words)
     intermediate is ever materialized; XLA:TPU fuses the unroll into one
-    pass over the planes.  Measured device-side throughput is recorded in
-    every bench run (BENCH_r*.json `device_kernel`:
-    count_bw_gbs_{1,32}mask_pipelined — e.g. 165 GB/s / 653 G genotypes/s
-    at the hrc shape on the round-4 chip; absolute numbers vary by chip
-    generation).
+    pass over the planes.
     """
     pc = jax.lax.population_count
     both = p0 & p1
@@ -107,6 +100,112 @@ def count_codes(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:
         cnt0 = tot - cnt1 - cnt2 - nb
         per_group.append(jnp.stack([cnt0, cnt1, cnt2, nb], axis=-1))
     return jnp.stack(per_group, axis=1)
+
+
+_PALLAS_TILE = 256  # rows per grid step: 32 (8,128)-sublane tiles of uint32
+
+
+def _count3_kernel(p0_ref, p1_ref, m_ref, out_ref, *, g: int):
+    """Pallas body: one row tile, all groups, three popcount streams.
+
+    Emits the raw sums (n10, n11, nb) per group at lanes 3*gi..3*gi+2; the
+    cheap affine transform to (cnt0..cnt3) runs outside the kernel on the
+    tiny (rows, g, 3) result.  3*g <= 128 lanes by the dispatcher gate.
+    """
+    pc = jax.lax.population_count
+    a = p0_ref[...]
+    b = p1_ref[...]
+    cols = []
+    for gi in range(g):
+        m = m_ref[gi][None, :]
+        am = a & m
+        bm = b & m
+        cols.append(pc(am).view(jnp.int32).sum(axis=1))
+        cols.append(pc(bm).view(jnp.int32).sum(axis=1))
+        cols.append(pc(am & bm).view(jnp.int32).sum(axis=1))
+    z = jnp.zeros_like(cols[0])
+    while len(cols) < 128:
+        cols.append(z)
+    out_ref[...] = jnp.stack(cols, axis=1)
+
+
+@jax.jit
+def _count_codes_pallas(p0, p1, masks):
+    """Hand-tiled single-HBM-pass count kernel.
+
+    Measured (TPU v5e, 30000x2048 words): 707 GB/s device-side vs 514 GB/s
+    for the XLA fusion and 709 GB/s for a popcount-reduce HBM proxy — i.e.
+    at the measured memory roofline (~86% of the 819 GB/s nominal peak);
+    tools/probe_roofline.py reproduces the comparison.  (An earlier
+    experiment at 157-word rows concluded Pallas loses to the fusion —
+    true at that width, reversed at production width; kept in
+    docs/experiments/pallas_count.py.)
+    """
+    from jax.experimental import pallas as pl
+
+    rows, words = p0.shape
+    g = masks.shape[0]
+    # row tile sized to the ~16 MB scoped-VMEM budget: measured footprint
+    # at (256, 2048) words was ~8 * tile * words * 4 bytes (double-buffered
+    # planes + unrolled popcount temporaries), so budget 12 MB with a 10x
+    # coefficient and round down to the 8-row sublane
+    tile = min(_PALLAS_TILE,
+               max(8, (12 << 20) // (10 * words * 4) // 8 * 8))
+    grid = (pl.cdiv(rows, tile),)
+    out = pl.pallas_call(
+        functools.partial(_count3_kernel, g=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, words), lambda i: (i, 0)),
+            pl.BlockSpec((tile, words), lambda i: (i, 0)),
+            pl.BlockSpec((g, words), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+    )(p0, p1, masks)
+    raw = out[:, : 3 * g].reshape(rows, g, 3)
+    n10 = raw[..., 0]
+    n11 = raw[..., 1]
+    nb = raw[..., 2]
+    tot = jax.lax.population_count(masks).sum(axis=-1, dtype=jnp.int32)
+    cnt1 = n10 - nb
+    cnt2 = n11 - nb
+    cnt0 = tot[None, :] - cnt1 - cnt2 - nb
+    return jnp.stack([cnt0, cnt1, cnt2, nb], axis=-1)
+
+
+def _use_pallas(rows: int, words: int, g: int) -> bool:
+    """Shape/backend gate for the Pallas path: TPU backend, lane-aligned
+    word width, enough rows to fill a tile, and 3*g raw sums fitting the
+    128-lane output block.  BGT_TPU_PALLAS=0 forces the XLA fusion."""
+    if os.environ.get("BGT_TPU_PALLAS", "1") == "0":
+        return False
+    if words % 128 != 0 or rows < _PALLAS_TILE or 3 * g > 128:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def count_codes(p0: jax.Array, p1: jax.Array, masks: jax.Array) -> jax.Array:
+    """Per-row, per-group genotype-code counts.
+
+    p0, p1: (rows, words) uint32 packed planes.
+    masks:  (groups, words) uint32 column masks.
+    returns (rows, groups, 4) int32: counts of codes 0..3.
+
+    Dispatches to the Pallas single-pass kernel on TPU at production
+    shapes (~707 GB/s device-side at the HRC width, ~86% of HBM peak) and
+    to the XLA fusion elsewhere; both compute identical int32 counts
+    (cross-checked in tests/test_ops.py and the real-backend device suite).
+    Shapes are static under tracing, so this dispatch also works inside
+    shard_map bodies (parallel/mesh.py).
+    """
+    rows, words = p0.shape
+    if _use_pallas(int(rows), int(words), int(masks.shape[0])):
+        return _count_codes_pallas(p0, p1, masks)
+    return _count_codes_jnp(p0, p1, masks)
 
 
 @functools.partial(jax.jit, static_argnames=("length",))

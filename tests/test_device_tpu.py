@@ -1,4 +1,4 @@
-"""Opt-in real-backend parity suite (round-3 verdict #8).
+"""Real-backend parity suite (round-3 verdict #8; default-on since r5).
 
 The normal test run pins JAX to 8 virtual CPU devices (conftest.py); this
 file instead validates the device kernels AND one end-to-end query on the
@@ -6,8 +6,10 @@ DEFAULT JAX backend — the real TPU when one is attached.  Because the env
 pin happens at interpreter start, the device work runs in a subprocess
 with a cleaned environment.
 
-Run explicitly:  BGT_TPU_DEVICE_TESTS=1 python -m pytest tests/test_device_tpu.py
-(bench.py runs it as its preamble and records the result).
+Runs by default whenever a TPU backend is visible (a cached subprocess
+probe — the device listing does not pay the tunneled first-readback
+penalty); skipped when only CPU is available.  BGT_TPU_DEVICE_TESTS=1
+forces the run on any backend, =0 forces the skip (VERDICT r4 next #7).
 """
 
 import os
@@ -19,9 +21,38 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
+_PROBE: list = [None]
+
+
+def _real_backend() -> str:
+    """Default-backend platform name probed in a clean subprocess."""
+    if _PROBE[0] is None:
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                env=env, capture_output=True, text=True, timeout=120)
+            _PROBE[0] = res.stdout.strip().splitlines()[-1] \
+                if res.returncode == 0 and res.stdout.strip() else "none"
+        except Exception:  # noqa: BLE001 - treat as no device
+            _PROBE[0] = "none"
+    return _PROBE[0]
+
+
+def _should_run() -> bool:
+    flag = os.environ.get("BGT_TPU_DEVICE_TESTS")
+    if flag == "1":
+        return True
+    if flag == "0":
+        return False
+    return _real_backend() == "tpu"
+
+
 pytestmark = pytest.mark.skipif(
-    os.environ.get("BGT_TPU_DEVICE_TESTS") != "1",
-    reason="set BGT_TPU_DEVICE_TESTS=1 to run against the real backend")
+    not _should_run(),
+    reason="no TPU visible (BGT_TPU_DEVICE_TESTS=1 forces, =0 skips)")
 
 
 DEVICE_SCRIPT = r"""
@@ -113,6 +144,49 @@ device = run("device")
 assert host == device, "device-tier query bytes differ from host tier"
 assert len(host.splitlines()) > 100
 print("end-to-end subset OK", flush=True)
+
+# Pallas production kernel vs the XLA-fusion oracle at qualifying shapes,
+# including a ragged final row tile and the 33-group maximum
+if dev.platform == "tpu":
+    for rows2, words2, g2 in ((2048, 256, 1), (1003, 128, 33),
+                              (517, 256, 8)):
+        q0 = rng.integers(0, 2**32, (rows2, words2), dtype=np.uint32)
+        q1 = rng.integers(0, 2**32, (rows2, words2), dtype=np.uint32)
+        qm = rng.integers(0, 2**32, (g2, words2), dtype=np.uint32)
+        assert counts_ops._use_pallas(rows2, words2, g2), (rows2, words2, g2)
+        a = np.asarray(counts_ops._count_codes_jnp(
+            jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(qm)))
+        b = np.asarray(counts_ops._count_codes_pallas(
+            jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(qm)))
+        assert np.array_equal(a, b), f"pallas mismatch {rows2, words2, g2}"
+    print("pallas kernel OK", flush=True)
+
+# sharded kernels on the real mesh (all visible devices) + stream_counts
+from bgt_tpu.parallel import mesh as meshlib
+from bgt_tpu.query.fastpath import stream_counts, host_counts
+from bgt_tpu.ops.tiles import TileStore
+
+mesh = meshlib.make_mesh()
+sp0, sp1, sm = meshlib.shard_planes(mesh, p0, p1, masks)
+got_s = np.asarray(meshlib.sharded_count_fn(mesh)(sp0, sp1, sm))
+assert np.array_equal(got_s, want), "sharded_count_fn mismatch"
+got_sr = np.asarray(meshlib.sharded_count_range_fn(mesh)(
+    sp0, sp1, sm, 17, 100))
+assert np.array_equal(got_sr, want[17:117]), "sharded_count_range mismatch"
+prf = meshlib.sharded_pairs_rows_fn(mesh)
+rows_sel = np.array([0, 3, 17, 200, 511], dtype=np.int32)
+got_p = np.asarray(prf(sp0, sp1, jnp.asarray(rows_sel)))
+cw_all = (b1 << 1) | b0
+want_p = (cw_all[rows_sel][:, 0::2] << 2) | cw_all[rows_sel][:, 1::2]
+assert np.array_equal(got_p[:, : want_p.shape[1]], want_p), \
+    "sharded_pairs_rows mismatch"
+print("sharded kernels OK", flush=True)
+
+ts = TileStore(rows, words * 32, p0, p1)
+rows_sub = np.arange(13, 400, 7, dtype=np.int64)
+got_st = stream_counts(ts, rows_sub, masks, chunk_rows=128)
+assert np.array_equal(got_st, want[rows_sub]), "stream_counts mismatch"
+print("stream_counts OK", flush=True)
 print("DEVICE-SUITE-PASS", flush=True)
 """
 
