@@ -1930,7 +1930,61 @@ struct BgzfOut {
 
     static constexpr size_t kBlock = 0xFF00;
 
-    bool flush_one(size_t n) {
+    // --- async mode: a worker thread deflates + writes queued payload
+    // blocks in order, taking the dominant zlib cost off the emit thread
+    // (the consumer was deflate-bound at site-heavy shapes: 1x39.2M rows
+    // spent ~2.5 s of its 4.2 s in deflate, VERDICT r4 next #4).  Virtual
+    // offsets are provisional while async (payload-block INDEX << 16 |
+    // within-block offset) because compressed block sizes are not known
+    // yet; remap_voffs() rewrites them to real BGZF virtual offsets after
+    // close() using the recorded per-block compressed sizes.  The byte
+    // stream is identical to sync mode (same payload split, same order).
+    bool async = false;
+    std::thread worker;
+    std::mutex mu;
+    std::condition_variable cv_put, cv_space;
+    std::deque<std::vector<uint8_t>> jobs;
+    bool done = false, werr = false;
+    uint64_t n_submitted = 0;      // payload blocks handed to the worker
+    std::vector<uint64_t> bsizes;  // compressed size of each written block
+    static constexpr size_t kMaxJobs = 32;
+
+    void start_async() {
+        async = true;
+        worker = std::thread([this] { worker_main(); });
+    }
+
+    void worker_main() {
+        std::vector<uint8_t> job;
+        for (;;) {
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_put.wait(lk, [&] { return !jobs.empty() || done; });
+                if (jobs.empty()) return;
+                job = std::move(jobs.front());
+                jobs.pop_front();
+                cv_space.notify_all();
+            }
+            uint64_t before = block_address;
+            bool ok;
+            {
+                // deflate outside the lock; flush_one_payload only touches
+                // worker-owned state (fp, cbuf, block_address)
+                ok = flush_one_payload(job.data(), job.size());
+            }
+            std::lock_guard<std::mutex> lk(mu);
+            if (!ok) {
+                werr = true;
+                cv_space.notify_all();
+                return;
+            }
+            bsizes.push_back(block_address - before);
+        }
+    }
+
+    // compress+write one payload block (worker thread in async mode, the
+    // caller in sync mode); does not touch `buf`
+    bool flush_one_payload(const uint8_t* data, size_t n) {
         static const uint8_t kHdr[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
                                          0,    0xff, 0x06, 0,    'B', 'C', 2, 0};
         cbuf.resize(compressBound(n) + 64);
@@ -1939,7 +1993,7 @@ struct BgzfOut {
         if (deflateInit2(&zs, lv, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) !=
             Z_OK)
             return false;
-        zs.next_in = buf.data();
+        zs.next_in = const_cast<uint8_t*>(data);
         zs.avail_in = n;
         zs.next_out = cbuf.data();
         zs.avail_out = cbuf.size();
@@ -1947,7 +2001,7 @@ struct BgzfOut {
         size_t clen = zs.total_out;
         deflateEnd(&zs);
         if (r != Z_STREAM_END) return false;
-        uint32_t crc = crc32(0, buf.data(), n);
+        uint32_t crc = crc32(0, data, n);
         uint16_t bsize = (uint16_t)(clen + 18 + 8 - 1);
         uint32_t isize = (uint32_t)n;
         if (fwrite(kHdr, 1, 16, fp) != 16) return false;
@@ -1956,6 +2010,49 @@ struct BgzfOut {
         if (fwrite(&crc, 4, 1, fp) != 1) return false;
         if (fwrite(&isize, 4, 1, fp) != 1) return false;
         block_address += clen + 18 + 8;
+        return true;
+    }
+
+    // hand one payload block to the worker (async mode)
+    bool submit(std::vector<uint8_t>&& job) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] { return jobs.size() < kMaxJobs || werr; });
+        if (werr) return false;
+        jobs.push_back(std::move(job));
+        ++n_submitted;
+        cv_put.notify_one();
+        return true;
+    }
+
+    // drain + stop the worker; false if it hit a write error
+    bool stop_async() {
+        if (!async) return true;
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            done = true;
+            cv_put.notify_one();
+        }
+        worker.join();
+        async = false;
+        return !werr;
+    }
+
+    // rewrite provisional async voffs (block index << 16 | within) into
+    // real BGZF virtual offsets; call after close()
+    void remap_voffs(std::vector<uint64_t>& voffs, uint64_t& voff0) const {
+        std::vector<uint64_t> starts(bsizes.size() + 1);
+        starts[0] = 0;
+        for (size_t i = 0; i < bsizes.size(); ++i)
+            starts[i + 1] = starts[i] + bsizes[i];
+        auto remap = [&](uint64_t v) {
+            return (starts[v >> 16] << 16) | (v & 0xFFFF);
+        };
+        voff0 = remap(voff0);
+        for (auto& v : voffs) v = remap(v);
+    }
+
+    bool flush_one(size_t n) {
+        if (!flush_one_payload(buf.data(), n)) return false;
         buf.erase(buf.begin(), buf.begin() + n);
         return true;
     }
@@ -1963,12 +2060,27 @@ struct BgzfOut {
     bool write(const void* data, size_t n) {
         const uint8_t* p = (const uint8_t*)data;
         buf.insert(buf.end(), p, p + n);
+        if (async) {
+            size_t off = 0;
+            while (buf.size() - off >= kBlock) {
+                if (!submit(std::vector<uint8_t>(
+                        buf.begin() + off, buf.begin() + off + kBlock)))
+                    return false;
+                off += kBlock;
+            }
+            if (off) buf.erase(buf.begin(), buf.begin() + off);
+            return true;
+        }
         while (buf.size() >= kBlock)
             if (!flush_one(kBlock)) return false;
         return true;
     }
 
     uint64_t vtell() const {
+        // async: provisional (payload-block index, within) pair — see
+        // remap_voffs; buf.size() < kBlock = 0xFF00 so it fits 16 bits
+        if (async)
+            return (n_submitted << 16) | (buf.size() & 0xFFFF);
         return (block_address << 16) | (buf.size() & 0xFFFF);
     }
 
@@ -1976,10 +2088,28 @@ struct BgzfOut {
         static const uint8_t kEof[28] = {
             0x1f, 0x8b, 0x08, 0x04, 0, 0,    0, 0, 0, 0xff, 0x06, 0, 'B', 'C',
             2,    0,    0x1b, 0,    3, 0,    0, 0, 0, 0,    0,    0, 0,   0};
-        while (!buf.empty())
-            if (!flush_one(std::min(buf.size(), kBlock))) return false;
+        if (async) {
+            size_t off = 0;
+            bool ok = true;
+            while (ok && buf.size() - off > 0) {
+                size_t n = std::min(buf.size() - off, kBlock);
+                ok = submit(std::vector<uint8_t>(
+                    buf.begin() + off, buf.begin() + off + n));
+                off += n;
+            }
+            buf.clear();
+            if (!stop_async()) ok = false;
+            if (!ok) return false;
+        } else {
+            while (!buf.empty())
+                if (!flush_one(std::min(buf.size(), kBlock))) return false;
+        }
         if (fwrite(kEof, 1, 28, fp) != 28) return false;
         return fclose(fp) == 0 ? (fp = nullptr, true) : false;
+    }
+
+    ~BgzfOut() {
+        if (async) stop_async();
     }
 };
 
@@ -2932,7 +3062,11 @@ void* bgt_import_open(const char* pbf_path, const char* bcf_path,
         by_width, std::thread::hardware_concurrency() >= 3 ? 256 : 1);
     J->bcf.fp = fopen(bcf_path, "wb");
     J->bcf.level = clevel;
+    // overlap site-BCF deflate with parsing/encoding when a second core
+    // exists (the emit thread is deflate-bound at site-heavy shapes)
+    if (std::thread::hardware_concurrency() >= 2) J->bcf.start_async();
     auto fail = [&]() -> void* {
+        J->bcf.stop_async();  // worker must stop before the fp closes
         if (J->bcf.fp) fclose(J->bcf.fp);
         if (J->pbfw) bgt_pbf_writer_close(J->pbfw);
         remove(bcf_path);
@@ -3048,8 +3182,12 @@ void* bgt_import_finish(void* jobp) {
     auto* J = (ImportJob*)jobp;
     ImportResult* R = J->R;
     bool ok = !J->failed && J->flush_rows();
-    if (ok) ok = J->bcf.close();
-    else if (J->bcf.fp) {
+    bool was_async = J->bcf.async;
+    if (ok) {
+        ok = J->bcf.close();
+        if (ok && was_async) J->bcf.remap_voffs(R->voff, R->voff0);
+    } else if (J->bcf.fp) {
+        J->bcf.stop_async();
         fclose(J->bcf.fp);
         J->bcf.fp = nullptr;
     }
