@@ -151,6 +151,15 @@ def get_lib():
     lib.bgt_import_meta.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
     lib.bgt_import_sites.restype = None
     lib.bgt_import_sites.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
+    lib.bgt_import_csi_init.restype = None
+    lib.bgt_import_csi_init.argtypes = [ctypes.c_void_p] + [ctypes.c_int32] * 3
+    lib.bgt_import_csi_ok.restype = ctypes.c_int32
+    lib.bgt_import_csi_ok.argtypes = [ctypes.c_void_p]
+    lib.bgt_import_csi_state.restype = None
+    lib.bgt_import_csi_state.argtypes = [ctypes.c_void_p] * 3
+    lib.bgt_import_csi_ctg.restype = None
+    lib.bgt_import_csi_ctg.argtypes = ([ctypes.c_void_p, ctypes.c_int32]
+                                       + [ctypes.c_void_p] * 6)
     lib.bgt_import_free.restype = None
     lib.bgt_import_free.argtypes = [ctypes.c_void_p]
     lib.bgt_merge_sites.restype = ctypes.c_void_p
@@ -643,9 +652,9 @@ def import_text(vcf_path: str, pbf_path: str, bcf_path: str,
                 end_defined: bool, cigar_defined: bool, shift: int):
     """One-pass native text-VCF import (parse + atomize + .bcf/.pbf write).
 
-    Returns (n_rows, rid i32, pos i64, end i64, voff u64, voff0) for CSI
-    construction, or None when the native library is unavailable or the
-    input needs the Python path (caller falls back)."""
+    Returns an :class:`ImportResult` (zero-copy views; call .free()) for
+    CSI construction, or None when the native library is unavailable or
+    the input needs the Python path (caller falls back)."""
     import numpy as np
     lib = get_lib()
     if lib is None:
@@ -662,15 +671,45 @@ def import_text(vcf_path: str, pbf_path: str, bcf_path: str,
     return _import_result(lib, h)
 
 
+class ImportResult:
+    """Zero-copy view of a finished native import.
+
+    Attributes are numpy views directly into the C++ result buffers (the
+    large record/site columns total ~2.6 GB at the 39.2M-row shape —
+    copying them cost multiple seconds of the import budget).  The caller
+    must invoke :meth:`free` (idempotent; also runs at GC) when done; the
+    views die with it.
+    """
+
+    __slots__ = ("_lib", "_h", "n", "rid", "pos", "end", "voff", "voff0",
+                 "sites", "csi")
+
+    def __init__(self, lib, h):
+        self._lib = lib
+        self._h = h
+
+    def free(self) -> None:
+        if self._h:
+            self._lib.bgt_import_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:  # noqa: BLE001 - interpreter shutdown
+            pass
+
+
 def _import_result(lib, h):
-    """Unpack + free an ImportResult handle -> (n, rid, pos, end, voff,
-    voff0, sites) or None.  ``sites`` is the dict of site-table sidecar
-    columns (rlen, n_allele, ref_len, alt_len, ref_cat, alt_cat) collected
-    while emitting, so the importer can write ``.sites.npz`` without
-    re-scanning the BCF it just wrote."""
+    """Wrap an ImportResult handle -> :class:`ImportResult` or None.
+    ``sites`` is the dict of site-table sidecar columns (rlen, n_allele,
+    ref_len, alt_len, ref_cat, alt_cat) collected while emitting, so the
+    importer can write ``.sites.npz`` without re-scanning the BCF it just
+    wrote; ``csi`` the in-job CSI builder's output (or None)."""
     import numpy as np
     if not h:
         return None
+    res = ImportResult(lib, h)
     try:
         n = lib.bgt_import_n(h)
         voff0 = lib.bgt_import_voff0(h)
@@ -688,7 +727,7 @@ def _import_result(lib, h):
             ct = np.ctypeslib.as_array(
                 ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
                 shape=(cnt * np.dtype(dtype).itemsize,))
-            return ct.view(dtype).copy()
+            return ct.view(dtype)
 
         p_rlen = ctypes.c_void_p()
         p_nal = ctypes.c_void_p()
@@ -710,11 +749,48 @@ def _import_result(lib, h):
             "ref_cat": arr(p_rc, np.uint8, int(rc_len.value)),
             "alt_cat": arr(p_ac, np.uint8, int(ac_len.value)),
         }
-        return (int(n), arr(p_rid, np.int32), arr(p_pos, np.int64),
-                arr(p_end, np.int64), arr(p_voff, np.uint64), int(voff0),
-                sites)
-    finally:
-        lib.bgt_import_free(h)
+        csi = None
+        if lib.bgt_import_csi_ok(h):
+            vals = np.zeros(9, dtype=np.int64)
+            p_ridx = ctypes.c_void_p()
+            lib.bgt_import_csi_state(
+                h, ctypes.c_void_p(vals.ctypes.data), ctypes.byref(p_ridx))
+            csi = {
+                "n_ctg": int(vals[0]), "n_rec": int(vals[1]),
+                "save_tid": int(vals[2]), "save_bin": int(vals[3]),
+                "save_off": int(vals[4]), "off_beg": int(vals[5]),
+                "n_mapped": int(vals[6]), "n_unmapped": int(vals[7]),
+                "ridx": arr(p_ridx, np.uint64, int(vals[8])),
+                "ctg": [],
+            }
+            for i in range(csi["n_ctg"]):
+                p_rb = ctypes.c_void_p()
+                p_ru = ctypes.c_void_p()
+                p_rv = ctypes.c_void_p()
+                p_li = ctypes.c_void_p()
+                n_runs = ctypes.c_int64()
+                n_lidx = ctypes.c_int64()
+                lib.bgt_import_csi_ctg(
+                    h, i, ctypes.byref(p_rb), ctypes.byref(p_ru),
+                    ctypes.byref(p_rv), ctypes.byref(n_runs),
+                    ctypes.byref(p_li), ctypes.byref(n_lidx))
+                csi["ctg"].append((
+                    arr(p_rb, np.int64, int(n_runs.value)),
+                    arr(p_ru, np.uint64, int(n_runs.value)),
+                    arr(p_rv, np.uint64, int(n_runs.value)),
+                    arr(p_li, np.int64, int(n_lidx.value))))
+        res.n = int(n)
+        res.rid = arr(p_rid, np.int32)
+        res.pos = arr(p_pos, np.int64)
+        res.end = arr(p_end, np.int64)
+        res.voff = arr(p_voff, np.uint64)
+        res.voff0 = int(voff0)
+        res.sites = sites
+        res.csi = csi
+        return res
+    except Exception:
+        res.free()
+        raise
 
 
 def import_open(pbf_path: str, bcf_path: str, bcf_hdr_blob: bytes,
@@ -757,13 +833,18 @@ def import_add_bcf(job, bcf_path: str, rid_map, gt_kid: int,
         gt_kid, cigar_kid, pass_fid, int(keep_flt)) == 0
 
 
+def import_csi_init(job, n_ctg: int, min_shift: int, n_lvls: int) -> None:
+    """Enable the in-job CSI builder (call before any add)."""
+    get_lib().bgt_import_csi_init(job, n_ctg, min_shift, n_lvls)
+
+
 def import_abort(job) -> None:
     """Poison the job so finish removes the partial outputs."""
     get_lib().bgt_import_abort(job)
 
 
 def import_finish(job):
-    """Finalize the job; returns the import_text-style result tuple or None
+    """Finalize the job; returns an :class:`ImportResult` or None
     (partial outputs removed natively on failure)."""
     lib = get_lib()
     return _import_result(lib, lib.bgt_import_finish(job))

@@ -73,6 +73,18 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
                              f"{prefix}.pb1" if gen_pb1 else None)
     if job is None:
         return None
+    # in-job CSI builder: bin/linear/RNI state advances per emitted record
+    # in C++ (the vectorized Python pass cost ~12 s at 39.2M rows)
+    max_len = 0
+    for _name, ii in h0.ids[bcflib.BCF_DT_CTG]:
+        max_len = max(max_len, ii.info[0])
+    max_len += 256
+    n_lvls, s = 0, 1 << 14
+    while max_len > s:
+        n_lvls += 1
+        s <<= 3
+    n_ctg = h0.n(bcflib.BCF_DT_CTG)
+    native.import_csi_init(job, n_ctg, 14, n_lvls)
     # the output header's contig order (identical to the first input's):
     # text records resolve contigs by NAME against this list; BCF records
     # remap their file-local rid through it
@@ -130,25 +142,29 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
     res = native.import_finish(job)
     if not ok or res is None:
         return None
-    n, rid, pos, end, voff, voff0, sites = res
-    # CSI + RNI directly from the writer's record offsets (no re-read)
-    max_len = 0
-    for _name, ii in h0.ids[bcflib.BCF_DT_CTG]:
-        max_len = max(max_len, ii.info[0])
-    max_len += 256
-    n_lvls, s = 0, 1 << 14
-    while max_len > s:
-        n_lvls += 1
-        s <<= 3
-    idx = HtsIndex(h0.n(bcflib.BCF_DT_CTG), 14, n_lvls, offset0=voff0)
-    # vectorized CSI construction (the per-record Python push cost ~2.5 µs
-    # each — ~100 s at the 39M-row HRC shape; VERDICT r3 next #3).  A CSI
-    # failure here (e.g. atoms out of order across a multi-file append) must
-    # not leave an unindexed half-built database: remove the outputs and let
-    # the caller fall back to the Python importer.
     try:
-        if n:
-            idx.push_batch(rid, pos, end, voff)
+        return _finish_native_import(prefix, res, n_ctg, n_lvls)
+    finally:
+        res.free()
+
+
+def _finish_native_import(prefix: str, res, n_ctg: int,
+                          n_lvls: int) -> int | None:
+    import os
+    n, rid, pos, voff0 = res.n, res.rid, res.pos, res.voff0
+    sites, csi = res.sites, res.csi
+    # CSI + RNI directly from the writer's record offsets (no re-read).
+    # Preferred source: the in-job C++ builder (csi); fallback: the
+    # vectorized push_batch over the returned record columns.  A CSI
+    # failure here (e.g. atoms out of order across a multi-file append)
+    # must not leave an unindexed half-built database: remove the outputs
+    # and let the caller fall back to the Python importer.
+    idx = HtsIndex(n_ctg, 14, n_lvls, offset0=voff0)
+    try:
+        if csi is not None:
+            _assemble_csi(idx, csi)
+        elif n:
+            idx.push_batch(rid, pos, res.end, res.voff)
         idx.finish(os.path.getsize(f"{prefix}.bcf") << 16)
         idx.save(f"{prefix}.bcf")
     except Exception:
@@ -171,6 +187,33 @@ def _native_import(prefix: str, inputs: list[str], is_vcf: bool | None,
     except OSError:
         pass
     return n
+
+
+def _assemble_csi(idx: HtsIndex, csi: dict) -> None:
+    """Load the native in-job CSI builder's runs/linear/RNI data into a
+    fresh :class:`HtsIndex`, leaving exactly the state push_batch leaves so
+    ``finish()`` closes the final bin and the pseudo-bin of the last contig
+    (same contract, ~12 s cheaper at 39.2M rows)."""
+    for i, (run_bin, run_u, run_v, lidx) in enumerate(csi["ctg"]):
+        d = idx.bidx[i]
+        order = idx._bin_order[i]
+        for b, u, v in zip(run_bin.tolist(), run_u.tolist(),
+                           run_v.tolist()):
+            lst = d.get(b)
+            if lst is None:
+                lst = d[b] = []
+                order.append(b)
+            lst.append((u, v))
+        idx.lidx[i] = lidx.tolist()
+    idx.ridx = csi["ridx"].astype(np.int64).tolist()
+    idx.n_rec = csi["n_rec"]
+    idx.n = max(idx.n, csi["n_ctg"])
+    idx._save_tid = csi["save_tid"]
+    idx._save_bin = csi["save_bin"] if csi["save_bin"] >= 0 else -1
+    idx._save_off = csi["save_off"]
+    idx._off_beg = csi["off_beg"]
+    idx._n_mapped = csi["n_mapped"]
+    idx._n_unmapped = csi["n_unmapped"]
 
 
 def import_vcf(prefix: str, inputs: list[str], is_vcf: bool | None = None,

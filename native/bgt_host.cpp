@@ -2037,18 +2037,15 @@ struct BgzfOut {
         return !werr;
     }
 
-    // rewrite provisional async voffs (block index << 16 | within) into
-    // real BGZF virtual offsets; call after close()
-    void remap_voffs(std::vector<uint64_t>& voffs, uint64_t& voff0) const {
+    // block start offsets for rewriting provisional async voffs (payload
+    // block index << 16 | within) into real BGZF virtual offsets; valid
+    // after close()
+    std::vector<uint64_t> block_starts() const {
         std::vector<uint64_t> starts(bsizes.size() + 1);
         starts[0] = 0;
         for (size_t i = 0; i < bsizes.size(); ++i)
             starts[i + 1] = starts[i] + bsizes[i];
-        auto remap = [&](uint64_t v) {
-            return (starts[v >> 16] << 16) | (v & 0xFFFF);
-        };
-        voff0 = remap(voff0);
-        for (auto& v : voffs) v = remap(v);
+        return starts;
     }
 
     bool flush_one(size_t n) {
@@ -2561,6 +2558,132 @@ bool atomize_c(ImportCtx& C, const VRec& r, std::vector<CAtom>& atoms) {
     return true;
 }
 
+// CSI binning-index run builder driven per emitted record.  Mirrors
+// bgt_tpu/formats/csi.py HtsIndex.push (itself the clean-room equivalent
+// of hts_idx_push, hts.c:348-400): bin runs are recorded as flat
+// (bin, u, v) triples per contig, the linear index as a min-write slot
+// array, plus the RNI record offsets — the Python side reassembles an
+// HtsIndex from these and runs the (small) finish/merge/save phase.
+// Replaces the vectorized-Python push_batch pass that cost ~12 s at the
+// 39.2M-row shape (VERDICT r4 next #4).
+struct CsiCtg {
+    std::vector<int64_t> run_bin;
+    std::vector<uint64_t> run_u, run_v;
+    std::vector<int64_t> lidx;  // -1 = empty slot
+};
+
+struct CsiBuilder {
+    bool enabled = false, failed = false;
+    int min_shift = 14, n_lvls = 5, rec_shift = 10;
+    int64_t n_bins = 0;
+    int64_t last_bin = -1, save_bin = -1;
+    int32_t last_tid = -1, save_tid = -1;
+    int64_t last_coor = -1;
+    uint64_t save_off = 0, last_off = 0, off_beg = 0, off_end = 0;
+    int64_t n_mapped = 0, n_unmapped = 0, n_rec = 0;
+    std::vector<CsiCtg> ctg;
+    std::vector<uint64_t> ridx;
+
+    void init(int32_t n_ctg, int32_t min_shift_, int32_t n_lvls_,
+              uint64_t voff0) {
+        enabled = true;
+        min_shift = min_shift_;
+        n_lvls = n_lvls_;
+        n_bins = ((1LL << (3 * n_lvls + 3)) - 1) / 7;
+        ctg.resize(n_ctg);
+        save_off = last_off = off_beg = off_end = voff0;
+    }
+
+    int64_t reg2bin(int64_t beg, int64_t end) const {
+        end -= 1;
+        int l = n_lvls, s = min_shift;
+        int64_t t = ((1LL << (3 * n_lvls)) - 1) / 7;
+        while (l > 0) {
+            if ((beg >> s) == (end >> s)) return t + (beg >> s);
+            --l;
+            s += 3;
+            t -= 1LL << (3 * l);
+        }
+        return 0;
+    }
+
+    void insert_b(int32_t tid, int64_t b, uint64_t u, uint64_t v) {
+        CsiCtg& c = ctg[tid];
+        c.run_bin.push_back(b);
+        c.run_u.push_back(u);
+        c.run_v.push_back(v);
+    }
+
+    void insert_l(int32_t tid, int64_t beg, int64_t end, uint64_t off) {
+        std::vector<int64_t>& l = ctg[tid].lidx;
+        int64_t b = beg >> min_shift, e = (end - 1) >> min_shift;
+        if ((int64_t)l.size() < e + 1) l.resize(e + 1, -1);
+        for (int64_t i = b; i <= e; ++i)
+            if (l[i] < 0) l[i] = (int64_t)off;
+    }
+
+    // mapped records only (the importer emits mapped atoms exclusively);
+    // false = unsorted input, builder poisoned, Python CSI fallback
+    bool push(int32_t tid, int64_t beg, int64_t end, uint64_t offset) {
+        if (!enabled || failed) return !failed;
+        if (tid >= (int32_t)ctg.size()) ctg.resize(tid + 1);
+        if (last_tid < tid) {
+            last_tid = tid;
+            last_bin = -1;
+        } else if (last_tid > tid || last_coor > beg) {
+            failed = true;
+            return false;
+        }
+        insert_l(tid, beg, end, last_off);
+        int64_t b = reg2bin(beg, end);
+        if (last_bin != b) {
+            if (save_bin != -1)
+                insert_b(save_tid, save_bin, save_off, last_off);
+            if (last_bin == -1 && save_bin != -1) {  // change of contig
+                off_end = last_off;
+                insert_b(save_tid, n_bins + 1, off_beg, off_end);
+                insert_b(save_tid, n_bins + 1, (uint64_t)n_mapped,
+                         (uint64_t)n_unmapped);
+                n_mapped = n_unmapped = 0;
+                off_beg = off_end;
+            }
+            save_off = last_off;
+            save_bin = last_bin = b;
+            save_tid = tid;
+        }
+        if (rec_shift > 0 && (n_rec & ((1LL << rec_shift) - 1)) == 0)
+            ridx.push_back(last_off);
+        ++n_mapped;
+        last_off = offset;
+        last_coor = beg;
+        ++n_rec;
+        return true;
+    }
+
+    template <typename F>
+    void remap(F&& f) {
+        for (CsiCtg& c : ctg) {
+            // pseudo-bin (n_bins+1) entries alternate: (off_beg, off_end)
+            // then (n_mapped, n_unmapped) — the counts pair must NOT be
+            // rewritten as offsets
+            int pseudo_seen = 0;
+            for (size_t i = 0; i < c.run_bin.size(); ++i) {
+                if (c.run_bin[i] == n_bins + 1 && (++pseudo_seen & 1) == 0)
+                    continue;
+                c.run_u[i] = f(c.run_u[i]);
+                c.run_v[i] = f(c.run_v[i]);
+            }
+            for (int64_t& x : c.lidx)
+                if (x >= 0) x = (int64_t)f((uint64_t)x);
+        }
+        for (uint64_t& r : ridx) r = f(r);
+        save_off = f(save_off);
+        last_off = f(last_off);
+        off_beg = f(off_beg);
+        off_end = f(off_end);
+    }
+};
+
 struct ImportResult {
     std::vector<int32_t> rid;
     std::vector<int64_t> pos, end;
@@ -2574,6 +2697,7 @@ struct ImportResult {
     std::vector<int64_t> srlen, sref_len, salt_len;
     std::vector<int32_t> snal;
     std::vector<uint8_t> sref_cat, salt_cat;
+    CsiBuilder csi;  // moved from the job at finish
 };
 
 // BGZF reader for native BCF input (inflate one block at a time; mirrors
@@ -2860,6 +2984,7 @@ struct ImportJob {
     int64_t rowbuf_n = 0, kRowBatch = 1;
     int32_t row_kid = 0, n_samples = 0;
     std::string pbf_path, bcf_path, pb1_path;
+    CsiBuilder csi;  // opt-in via bgt_import_csi_init
     bool failed = false;
 
     bool flush_rows() {
@@ -2910,6 +3035,9 @@ struct ImportJob {
         R->pos.push_back(a.pos);
         R->end.push_back(a.pos + a.rlen);
         R->voff.push_back(bcf.vtell());
+        // CSI bin/linear/RNI state machine (a poisoned builder just means
+        // the Python side rebuilds the index from rid/pos/end/voff)
+        csi.push(a.rid, a.pos, a.pos + a.rlen, R->voff.back());
         // site-table sidecar columns (ALT1 only, bcf_get_ref_alt1 rule)
         R->srlen.push_back(a.rlen);
         R->snal.push_back(n_allele);
@@ -3185,7 +3313,16 @@ void* bgt_import_finish(void* jobp) {
     bool was_async = J->bcf.async;
     if (ok) {
         ok = J->bcf.close();
-        if (ok && was_async) J->bcf.remap_voffs(R->voff, R->voff0);
+        if (ok && was_async) {
+            auto starts = J->bcf.block_starts();
+            auto f = [&](uint64_t v) {
+                return (starts[v >> 16] << 16) | (v & 0xFFFF);
+            };
+            for (auto& v : R->voff) v = f(v);
+            R->voff0 = f(R->voff0);
+            if (J->csi.enabled && !J->csi.failed) J->csi.remap(f);
+        }
+        R->csi = std::move(J->csi);
     } else if (J->bcf.fp) {
         J->bcf.stop_async();
         fclose(J->bcf.fp);
@@ -3234,6 +3371,49 @@ void bgt_import_meta(void* h, void** rid, void** pos, void** end,
     *pos = r->pos.data();
     *end = r->end.data();
     *voff = r->voff.data();
+}
+
+// Enable the in-job CSI builder (call right after bgt_import_open, before
+// any add; n_ctg/min_shift/n_lvls from the output header's contigs)
+void bgt_import_csi_init(void* jobp, int32_t n_ctg, int32_t min_shift,
+                         int32_t n_lvls) {
+    auto* J = (ImportJob*)jobp;
+    J->csi.init(n_ctg, min_shift, n_lvls, J->R->voff0);
+}
+
+// 1 when the finished result carries a usable CSI build
+int32_t bgt_import_csi_ok(void* h) {
+    auto& c = ((ImportResult*)h)->csi;
+    return (c.enabled && !c.failed) ? 1 : 0;
+}
+
+// builder end-state for the Python finish() pass; vals[9]:
+// n_ctg, n_rec, save_tid, save_bin, save_off, off_beg, n_mapped,
+// n_unmapped, ridx_len
+void bgt_import_csi_state(void* h, int64_t* vals, void** ridx) {
+    auto& c = ((ImportResult*)h)->csi;
+    vals[0] = (int64_t)c.ctg.size();
+    vals[1] = c.n_rec;
+    vals[2] = c.save_tid;
+    vals[3] = c.save_bin;
+    vals[4] = (int64_t)c.save_off;
+    vals[5] = (int64_t)c.off_beg;
+    vals[6] = c.n_mapped;
+    vals[7] = c.n_unmapped;
+    vals[8] = (int64_t)c.ridx.size();
+    *ridx = c.ridx.data();
+}
+
+void bgt_import_csi_ctg(void* h, int32_t i, void** run_bin, void** run_u,
+                        void** run_v, int64_t* n_runs, void** lidx,
+                        int64_t* n_lidx) {
+    CsiCtg& c = ((ImportResult*)h)->csi.ctg[i];
+    *run_bin = c.run_bin.data();
+    *run_u = c.run_u.data();
+    *run_v = c.run_v.data();
+    *n_runs = (int64_t)c.run_bin.size();
+    *lidx = c.lidx.data();
+    *n_lidx = (int64_t)c.lidx.size();
 }
 
 // Sidecar columns collected during emit (rid/pos come from bgt_import_meta)
