@@ -180,6 +180,47 @@ def sharded_pairs_rows_fn(mesh: Mesh):
     return call
 
 
+def sharded_pairs_rows2_fn(mesh: Mesh):
+    """2-axis-mesh GT pair gather: rows sharded over 'r', columns over 's'.
+
+    Each (row-block, column-block) device contributes its rows of the
+    requested (replicated) row-id vector — rows outside its block as zeros
+    — a ``psum`` over 'r' assembles the selected rows on every column
+    shard, then the usual ``all_gather`` over 's' reassembles full
+    genotype rows.  Compiled once per row-count bucket."""
+    cache: dict = {}
+
+    def call(p0, p1, rows_idx):
+        n = int(rows_idx.shape[0])
+        fn = cache.get(n)
+        if fn is None:
+            def _pairs(p0, p1, rows):
+                block = p0.shape[0]
+                r_idx = jax.lax.axis_index(ROW_AXIS)
+                loc = rows - r_idx * block
+                valid = (loc >= 0) & (loc < block)
+                locc = jnp.clip(loc, 0, block - 1)
+                l0 = jnp.where(valid[:, None], jnp.take(p0, locc, axis=0), 0)
+                l1 = jnp.where(valid[:, None], jnp.take(p1, locc, axis=0), 0)
+                l0 = jax.lax.psum(l0, ROW_AXIS)
+                l1 = jax.lax.psum(l1, ROW_AXIS)
+                codes = counts_ops.decode_codes(l0, l1)
+                full = jax.lax.all_gather(codes, SAMPLE_AXIS, axis=1,
+                                          tiled=True)
+                return (full[:, 0::2] << 2) | full[:, 1::2]
+
+            fn = jax.jit(shard_map(
+                _pairs, mesh=mesh,
+                in_specs=(P(ROW_AXIS, SAMPLE_AXIS), P(ROW_AXIS, SAMPLE_AXIS),
+                          P()),
+                out_specs=P(None), check_vma=False,
+            ))
+            cache[n] = fn
+        return fn(p0, p1, rows_idx)
+
+    return call
+
+
 def sharded_gather_codes_fn(mesh: Mesh):
     """jitted (p0, p1) -> (rows, words*32) uint8 codes, all-gathered."""
 

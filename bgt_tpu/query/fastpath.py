@@ -450,6 +450,36 @@ class ShardContext:
         self.count_range = meshlib.sharded_count_range_fn(self.mesh)
         self.pairs_rows = meshlib.sharded_pairs_rows_fn(self.mesh)
         self._planes: dict = {}
+        # 2-axis (site-batch x sample-column) meshes + their kernels,
+        # keyed by the row-axis size r (single-process only)
+        self._mesh2: dict = {}
+
+    def _axes_for(self, ts) -> tuple[int, int]:
+        """(r, s) mesh factorization for a database's tile shape: the
+        sample axis takes at most enough devices that each still holds
+        >=256 words (8192 haplotypes); leftover devices shard the
+        site-batch axis — narrow site-heavy matrices (the reference's
+        row-streaming seam, bgt.c:797-878) run rows x columns sharded.
+        BGT_TPU_MESH2=RxS overrides."""
+        import os
+        env = os.environ.get("BGT_TPU_MESH2")
+        if env:
+            r, s = (int(x) for x in env.lower().split("x"))
+            if r * s == self.n_dev and r >= 1 and s >= 1:
+                return r, s
+        s = max(1, min(self.n_dev, ts.n_words // 256))
+        while self.n_dev % s:
+            s -= 1
+        return self.n_dev // s, s
+
+    def _mesh2_fns(self, r: int):
+        hit = self._mesh2.get(r)
+        if hit is None:
+            mesh2 = self.meshlib.make_mesh2(r)
+            hit = (mesh2, self.meshlib.sharded_count2_fn(mesh2),
+                   self.meshlib.sharded_pairs_rows2_fn(mesh2))
+            self._mesh2[r] = hit
+        return hit
 
     def _place(self, arr: np.ndarray, words: int):
         """Column-shard a host array over the mesh (multi-host aware)."""
@@ -481,27 +511,123 @@ class ShardContext:
             local = np.pad(local, ((0, 0), (0, hi - lo - local.shape[1])))
         return self.distributed.place_local(self.mesh, local)
 
-    def planes(self, ctx: "_DbCtx"):
-        """(p0_sharded, p1_sharded, padded_words, n_rows) for a database."""
+    def executor(self, ctx: "_DbCtx"):
+        """Per-database mesh executor (placement cached): 1-axis
+        sample-column sharding, or rows x columns on a 2-axis mesh when
+        the tile shape warrants it (:meth:`_axes_for`)."""
         key = _cache_key(ctx.bf)
         hit = self._planes.get(key)
-        if hit is None:
-            ts = ctx.ts
+        if hit is not None:
+            return hit
+        ts = ctx.ts
+        r, s = ((1, self.n_dev) if self.multi_process or ts.is_shard
+                else self._axes_for(ts))
+        if r == 1:
             words = self.meshlib.pad_words_for_mesh(ts.n_words, self.n_dev)
             if ts.is_shard:
                 if not self.multi_process:
                     raise ValueError("column-shard tile in a single-process "
                                      "run: open the full .gtc instead")
-                hit = (self._place_shard(ts, ts.plane0),
-                       self._place_shard(ts, ts.plane1), words, ts.n_rows)
+                p0 = self._place_shard(ts, ts.plane0)
+                p1 = self._place_shard(ts, ts.plane1)
             else:
-                hit = (self._place(ts.plane0, words),
-                       self._place(ts.plane1, words), words, ts.n_rows)
-            self._planes[key] = hit
+                p0 = self._place(ts.plane0, words)
+                p1 = self._place(ts.plane1, words)
+            hit = _MeshExec1(self, p0, p1, words, ts.n_rows)
+        else:
+            hit = self._build_exec2(ts, r, s)
+        self._planes[key] = hit
         return hit
+
+    def _build_exec2(self, ts, r: int, s: int):
+        """Place a database on the (r, s) 2-axis mesh (production use of
+        the site-batch axis, VERDICT r4 next #5)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh2, count2, pairs2 = self._mesh2_fns(r)
+        words = self.meshlib.pad_words_for_mesh(ts.n_words, s)
+        rows_pad = (ts.n_rows + r - 1) // r * r
+        psh = NamedSharding(mesh2, P(self.meshlib.ROW_AXIS,
+                                     self.meshlib.SAMPLE_AXIS))
+
+        def place(arr):
+            pc = words - arr.shape[1]
+            pr = rows_pad - arr.shape[0]
+            if pc or pr:
+                arr = np.pad(arr, ((0, pr), (0, pc)))
+            return jax.device_put(arr, psh)
+
+        return _MeshExec2(self, mesh2, count2, pairs2,
+                          place(ts.plane0), place(ts.plane1), words,
+                          ts.n_rows, rows_pad)
 
     def put_masks(self, masks: np.ndarray, words: int):
         return self._place(masks, words)
+
+
+class _MeshExec1:
+    """Sample-column 1-axis mesh executor for one database."""
+
+    kind = "s"
+
+    def __init__(self, sc: ShardContext, p0, p1, words: int, n_rows: int):
+        self.sc = sc
+        self.p0 = p0
+        self.p1 = p1
+        self.words = words
+        self.n_rows = n_rows
+
+    def count_range(self, masks: np.ndarray, start: int,
+                    length: int) -> np.ndarray:
+        msk = self.sc.put_masks(masks, self.words)
+        return np.asarray(
+            self.sc.count_range(self.p0, self.p1, msk, start, length))
+
+    def pairs(self, rows_idx) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(
+            self.sc.pairs_rows(self.p0, self.p1, jnp.asarray(rows_idx)))
+
+
+class _MeshExec2:
+    """Rows x columns 2-axis mesh executor: counts run the full row range
+    (the memo/full-pass tier is the production consumer; the crossover
+    gate keeps small spans off the mesh), sliced to the caller's range on
+    readback; GT pairs psum over the row axis then all_gather columns."""
+
+    kind = "rs"
+
+    def __init__(self, sc: ShardContext, mesh2, count2, pairs2, p0, p1,
+                 words: int, n_rows: int, rows_pad: int):
+        self.sc = sc
+        self.mesh2 = mesh2
+        self._count2 = count2
+        self._pairs2 = pairs2
+        self.p0 = p0
+        self.p1 = p1
+        self.words = words
+        self.n_rows = n_rows
+        self.rows_pad = rows_pad
+
+    def _put_masks(self, masks: np.ndarray):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pad = self.words - masks.shape[1]
+        if pad:
+            masks = np.pad(masks, ((0, 0), (0, pad)))
+        sh = NamedSharding(self.mesh2, P(None, self.sc.meshlib.SAMPLE_AXIS))
+        return jax.device_put(masks, sh)
+
+    def count_range(self, masks: np.ndarray, start: int,
+                    length: int) -> np.ndarray:
+        full = np.asarray(
+            self._count2(self.p0, self.p1, self._put_masks(masks)))
+        return full[start: start + length]
+
+    def pairs(self, rows_idx) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(
+            self._pairs2(self.p0, self.p1, jnp.asarray(rows_idx)))
 
 
 _shard_ctx: list = [None, False]  # [context, initialized]
@@ -762,12 +888,10 @@ class _DbCtx:
             if sharding is None:
                 raise ValueError("column-shard tile needs the multi-process "
                                  "mesh path for subset counts")
-            p0, p1, words, n_rows = sharding.planes(self)
-            msk = sharding.put_masks(masks, words)
-            length = _bucket(int(rows[-1]) + 1 - int(rows[0]), n_rows)
-            start = min(int(rows[0]), n_rows - length)
-            counts = np.asarray(sharding.count_range(p0, p1, msk, start,
-                                                     length))
+            ex = sharding.executor(self)
+            length = _bucket(int(rows[-1]) + 1 - int(rows[0]), ex.n_rows)
+            start = min(int(rows[0]), ex.n_rows - length)
+            counts = ex.count_range(masks, start, length)
             return counts[rows - start]
         if self._count_tier(rows, masks, memo_ok) == "host":
             # memoize the full range only when that pass is itself cheap
@@ -806,11 +930,10 @@ class _DbCtx:
             # (no process holds the full columns), so they always shard.
             sharding = None
         if sharding is not None:
-            p0, p1, words, n_rows = sharding.planes(self)
-            msk = sharding.put_masks(masks, words)
-            length = _bucket(span, n_rows)
-            start = min(start, n_rows - length)
-            counts = np.asarray(sharding.count_range(p0, p1, msk, start, length))
+            ex = sharding.executor(self)
+            length = _bucket(span, ex.n_rows)
+            start = min(start, ex.n_rows - length)
+            counts = ex.count_range(masks, start, length)
         else:
             dt = get_device_tiles(self.bf)
             if dt is None:  # tiles exceed the HBM budget: stream row chunks
@@ -860,7 +983,7 @@ class _DbCtx:
             raise ValueError(
                 "column-shard tile store but no device mesh: GT-emitting "
                 "queries on shards need the multi-process mesh path")
-        p0, p1, _words, n_rows = sharding.planes(self)
+        ex = sharding.executor(self)
         samples = np.asarray(cols[0::2] // 2, dtype=np.int64)
         out = np.empty((rows.size, samples.size), dtype=np.uint8)
         for lo in range(0, rows.size, chunk_rows):
@@ -868,8 +991,7 @@ class _DbCtx:
             n = _bucket(int(sl.size), chunk_rows)
             idx = np.zeros(n, dtype=np.int32)
             idx[: sl.size] = sl
-            pairs_full = np.asarray(
-                sharding.pairs_rows(p0, p1, jnp.asarray(idx)))
+            pairs_full = ex.pairs(idx)
             out[lo: lo + sl.size] = pairs_full[: sl.size][:, samples]
         return out
 

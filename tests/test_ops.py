@@ -349,3 +349,57 @@ def test_shard_crossover_gate(tmp_path, monkeypatch):
     out_mesh, placed_mesh = run()
     assert placed_mesh == 1, "mesh path did not engage with the gate off"
     assert out_gated == out_mesh
+
+
+def test_mesh2_production_path(tmp_path, monkeypatch):
+    """A narrow (few-sample) DB on an 8-device mesh routes counts through
+    the 2-axis rows x columns executor (kind 'rs') with identical bytes to
+    the host tier; a wide-enough word count keeps the 1-axis executor
+    (VERDICT r4 next #5: the production site-batch axis)."""
+    import io
+    import os
+    from bgt_tpu import testing
+    from bgt_tpu.query import importer, fastpath
+    from bgt_tpu.query.view import main_view
+    vcf = testing.random_vcf(n_samples=10, n_sites=90, seed=31)
+    (tmp_path / "in.vcf").write_text(vcf)
+    importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
+                        is_vcf=True)
+
+    def run():
+        fastpath.reset_shard_context()
+        fastpath._COUNT_MEMO.clear()
+        buf = io.StringIO()
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            assert main_view(["-G", "-C", "-s", ",S0001,S0003", "db"],
+                             out=buf) == 0
+        finally:
+            os.chdir(old)
+        ctx = fastpath.get_shard_context()
+        kinds = ([getattr(e, "kind", "?") for e in ctx._planes.values()]
+                 if ctx is not None else [])
+        fastpath.reset_shard_context()
+        return buf.getvalue(), kinds
+
+    monkeypatch.setenv("BGT_TPU_COUNT_TIER", "host")
+    monkeypatch.setenv("BGT_TPU_SHARD", "0")
+    want, _ = run()
+    monkeypatch.delenv("BGT_TPU_SHARD")
+    monkeypatch.setenv("BGT_TPU_COUNT_TIER", "device")
+    monkeypatch.setenv("BGT_TPU_SHARD_MIN_ROWS", "0")
+    # auto heuristic: 10 samples -> few words -> pure row sharding (r=8)
+    got, kinds = run()
+    assert kinds == ["rs"], kinds
+    assert got == want
+    # explicit 2x4 layout
+    monkeypatch.setenv("BGT_TPU_MESH2", "2x4")
+    got2, kinds2 = run()
+    assert kinds2 == ["rs"], kinds2
+    assert got2 == want
+    # forcing all devices onto the sample axis restores the 1-axis executor
+    monkeypatch.setenv("BGT_TPU_MESH2", "1x8")
+    got1, kinds1 = run()
+    assert kinds1 == ["s"], kinds1
+    assert got1 == want
