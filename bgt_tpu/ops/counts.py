@@ -132,6 +132,9 @@ def _count3_kernel(p0_ref, p1_ref, m_ref, out_ref, *, g: int):
     out_ref[...] = jnp.stack(cols, axis=1)
 
 
+_PALLAS_GROUP_CHUNK = 8
+
+
 @jax.jit
 def _count_codes_pallas(p0, p1, masks):
     """Hand-tiled single-HBM-pass count kernel.
@@ -143,6 +146,12 @@ def _count_codes_pallas(p0, p1, masks):
     experiment at 157-word rows concluded Pallas loses to the fusion —
     true at that width, reversed at production width; kept in
     docs/experiments/pallas_count.py.)
+
+    Groups run in chunks of <=8 per pallas_call: Mosaic's scoped-VMEM
+    footprint grows with the unrolled group count (a 33-group unroll
+    blew the 16 MB limit at narrow word widths — caught by the
+    real-backend device suite), and a multi-pass chunked kernel still
+    matches the compute-bound fused alternative at high group counts.
     """
     from jax.experimental import pallas as pl
 
@@ -155,18 +164,23 @@ def _count_codes_pallas(p0, p1, masks):
     tile = min(_PALLAS_TILE,
                max(8, (12 << 20) // (10 * words * 4) // 8 * 8))
     grid = (pl.cdiv(rows, tile),)
-    out = pl.pallas_call(
-        functools.partial(_count3_kernel, g=g),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, words), lambda i: (i, 0)),
-            pl.BlockSpec((tile, words), lambda i: (i, 0)),
-            pl.BlockSpec((g, words), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-    )(p0, p1, masks)
-    raw = out[:, : 3 * g].reshape(rows, g, 3)
+    chunks = []
+    for lo in range(0, g, _PALLAS_GROUP_CHUNK):
+        mc = masks[lo: lo + _PALLAS_GROUP_CHUNK]
+        gc = mc.shape[0]
+        out = pl.pallas_call(
+            functools.partial(_count3_kernel, g=gc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, words), lambda i: (i, 0)),
+                pl.BlockSpec((tile, words), lambda i: (i, 0)),
+                pl.BlockSpec((gc, words), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        )(p0, p1, mc)
+        chunks.append(out[:, : 3 * gc])
+    raw = jnp.concatenate(chunks, axis=1).reshape(rows, g, 3)
     n10 = raw[..., 0]
     n11 = raw[..., 1]
     nb = raw[..., 2]
