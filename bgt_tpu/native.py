@@ -704,7 +704,7 @@ def _import_result(lib, h):
     """Wrap an ImportResult handle -> :class:`ImportResult` or None.
     ``sites`` is the dict of site-table sidecar columns (rlen, n_allele,
     ref_len, alt_len, ref_cat, alt_cat) collected while emitting, so the
-    importer can write ``.sites.npz`` without re-scanning the BCF it just
+    importer can write ``.sites.bin`` without re-scanning the BCF it just
     wrote; ``csi`` the in-job CSI builder's output (or None)."""
     import numpy as np
     if not h:

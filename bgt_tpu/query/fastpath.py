@@ -42,31 +42,74 @@ BATCH_ROWS = 4096
 class SiteTable:
     """All site records of a DB parsed into columnar arrays.
 
-    The one-time .bcf scan is cached in a ``.sites.npz`` sidecar (rebuilt
-    when the .bcf is newer), so cold-start queries skip the per-record
-    Python parse entirely.
+    The one-time .bcf scan is cached in a memory-mapped ``.sites.bin``
+    sidecar (written by ``bgt import``; rebuilt here when the .bcf is
+    newer), so cold-start queries skip both the per-record parse AND the
+    eager sidecar read: at 39.2M sites the former ``.sites.npz`` cost ~8 s
+    of read+copy on open, while the mmap faults in only the pages a query
+    touches (region masks scan rid/pos/rlen; allele text loads lazily).
+    Legacy ``.sites.npz`` sidecars are still read.
     """
 
     def __init__(self, prefix: str, h0: bcflib.BcfHeader):
         self.h0 = h0
         import os
-        sidecar = prefix + ".sites.npz"
+        from ..formats import sites as sites_fmt
         bcf_path = prefix + ".bcf"
-        try:
-            if os.path.getmtime(sidecar) >= os.path.getmtime(bcf_path):
-                self._load(sidecar)
-                return
-        except OSError:
-            pass
+        self._ref_cat_b: bytes | None = None
+        self._alt_cat_b: bytes | None = None
+        self._ref_cat_mm = self._alt_cat_mm = None
+        for sidecar, loader in ((prefix + ".sites.bin", self._load_bin),
+                                (prefix + ".sites.npz", self._load)):
+            try:
+                if os.path.getmtime(sidecar) >= os.path.getmtime(bcf_path):
+                    if loader(sidecar):
+                        return
+            except OSError:
+                pass
         self._scan(bcf_path)
         try:
-            np.savez(sidecar, rid=self.rid, pos=self.pos, rlen=self.rlen,
-                     n_allele=self.n_allele, ref_len=self.ref_len,
-                     alt_len=self.alt_len,
-                     ref_cat=np.frombuffer(self.ref_cat, dtype=np.uint8),
-                     alt_cat=np.frombuffer(self.alt_cat, dtype=np.uint8))
+            sites_fmt.write_sidecar(
+                prefix + ".sites.bin", self.rid, self.pos, self.rlen,
+                self.n_allele, self.ref_len, self.alt_len,
+                self._ref_cat_b, self._alt_cat_b)
+            # reload through the mmap so every load path exposes identical
+            # dtypes/views (scan arrays are int64; the sidecar narrows)
+            self._load_bin(prefix + ".sites.bin")
         except OSError:
             pass
+
+    def _load_bin(self, sidecar: str) -> bool:
+        from ..formats import sites as sites_fmt
+        z = sites_fmt.load_sidecar(sidecar)
+        if z is None:
+            return False
+        self.n = z["n"]
+        self.rid = z["rid"]
+        self.pos = z["pos"]
+        self.rlen = z["rlen"]
+        self.n_allele = z["n_allele"]
+        self.ref_len = z["ref_len"]
+        self.alt_len = z["alt_len"]
+        self.ref_off = z["ref_off"]
+        self.alt_off = z["alt_off"]
+        self._ref_cat_mm = z["ref_cat"]
+        self._alt_cat_mm = z["alt_cat"]
+        self._refs = None
+        self._alts = None
+        return True
+
+    @property
+    def ref_cat(self) -> bytes:
+        if self._ref_cat_b is None:
+            self._ref_cat_b = self._ref_cat_mm.tobytes()
+        return self._ref_cat_b
+
+    @property
+    def alt_cat(self) -> bytes:
+        if self._alt_cat_b is None:
+            self._alt_cat_b = self._alt_cat_mm.tobytes()
+        return self._alt_cat_b
 
     def _scan(self, bcf_path: str) -> None:
         from .. import native
@@ -77,7 +120,7 @@ class SiteTable:
             res = None
         if res is not None:
             (self.rid, self.pos, self.rlen, self.n_allele, self.ref_len,
-             self.alt_len, self.ref_cat, self.alt_cat) = res
+             self.alt_len, self._ref_cat_b, self._alt_cat_b) = res
             self.n = self.rid.size
             self._finish()
             return
@@ -108,12 +151,13 @@ class SiteTable:
         self.n_allele = np.array(nal, dtype=np.int32)
         self.ref_len = np.array(ref_lens, dtype=np.int64)
         # concatenated allele buffers + per-site offsets (for native emission)
-        self.ref_cat = b"".join(refs)
+        self._ref_cat_b = b"".join(refs)
         self.alt_len = np.array([len(a) for a in alts], dtype=np.int64)
-        self.alt_cat = b"".join(alts)
+        self._alt_cat_b = b"".join(alts)
         self._finish()
 
-    def _load(self, sidecar: str) -> None:
+    def _load(self, sidecar: str) -> bool:
+        """Legacy eager .sites.npz sidecar."""
         z = np.load(sidecar)
         self.rid = z["rid"]
         self.pos = z["pos"]
@@ -121,10 +165,11 @@ class SiteTable:
         self.n_allele = z["n_allele"]
         self.ref_len = z["ref_len"]
         self.alt_len = z["alt_len"]
-        self.ref_cat = z["ref_cat"].tobytes()
-        self.alt_cat = z["alt_cat"].tobytes()
+        self._ref_cat_b = z["ref_cat"].tobytes()
+        self._alt_cat_b = z["alt_cat"].tobytes()
         self.n = self.rid.size
         self._finish()
+        return True
 
     def _finish(self) -> None:
         self.ref_off = np.zeros(self.n, dtype=np.int64)
@@ -565,6 +610,31 @@ class ShardContext:
         return self._place(masks, words)
 
 
+class _MaskMemo:
+    """Tiny LRU of device-placed mask tensors: repeated queries with the
+    same sample subset skip the per-call host->mesh mask transfer (part of
+    the flat in-process dispatch overhead, VERDICT r4 next #9)."""
+
+    def __init__(self, place, cap: int = 8):
+        self._place = place
+        self._cap = cap
+        self._memo: dict = {}
+
+    def get(self, masks: np.ndarray):
+        key = (masks.shape, masks.tobytes())
+        with _CACHE_LOCK:
+            hit = self._memo.get(key)
+            if hit is not None:
+                self._memo[key] = self._memo.pop(key)
+                return hit
+        placed = self._place(masks)
+        with _CACHE_LOCK:
+            while len(self._memo) >= self._cap:
+                self._memo.pop(next(iter(self._memo)))
+            self._memo[key] = placed
+        return placed
+
+
 class _MeshExec1:
     """Sample-column 1-axis mesh executor for one database."""
 
@@ -576,10 +646,11 @@ class _MeshExec1:
         self.p1 = p1
         self.words = words
         self.n_rows = n_rows
+        self._masks = _MaskMemo(lambda m: sc.put_masks(m, words))
 
     def count_range(self, masks: np.ndarray, start: int,
                     length: int) -> np.ndarray:
-        msk = self.sc.put_masks(masks, self.words)
+        msk = self._masks.get(masks)
         return np.asarray(
             self.sc.count_range(self.p0, self.p1, msk, start, length))
 
@@ -608,6 +679,7 @@ class _MeshExec2:
         self.words = words
         self.n_rows = n_rows
         self.rows_pad = rows_pad
+        self._masks = _MaskMemo(self._put_masks)
 
     def _put_masks(self, masks: np.ndarray):
         import jax
@@ -621,7 +693,7 @@ class _MeshExec2:
     def count_range(self, masks: np.ndarray, start: int,
                     length: int) -> np.ndarray:
         full = np.asarray(
-            self._count2(self.p0, self.p1, self._put_masks(masks)))
+            self._count2(self.p0, self.p1, self._masks.get(masks)))
         return full[start: start + length]
 
     def pairs(self, rows_idx) -> np.ndarray:

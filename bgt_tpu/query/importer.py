@@ -175,15 +175,16 @@ def _finish_native_import(prefix: str, res, n_ctg: int,
                 pass
         return None
     # site-table sidecar: the importer has every site in hand, so pay the
-    # .sites.npz write now instead of a cold-query re-scan of the BCF
+    # .sites.bin write now instead of a cold-query re-scan of the BCF
     # (VERDICT r4 next #3; the reference builds its index at import for the
     # same reason, import.c:117).  Written AFTER the .bcf/.csi so its mtime
     # passes the freshness check; best-effort (the lazy build remains).
     try:
-        np.savez(prefix + ".sites.npz", rid=rid, pos=pos,
-                 rlen=sites["rlen"], n_allele=sites["n_allele"],
-                 ref_len=sites["ref_len"], alt_len=sites["alt_len"],
-                 ref_cat=sites["ref_cat"], alt_cat=sites["alt_cat"])
+        from ..formats import sites as sites_fmt
+        sites_fmt.write_sidecar(
+            prefix + ".sites.bin", rid, pos, sites["rlen"],
+            sites["n_allele"], sites["ref_len"], sites["alt_len"],
+            sites["ref_cat"], sites["alt_cat"])
     except OSError:
         pass
     return n

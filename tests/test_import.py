@@ -345,19 +345,22 @@ def test_import_pb1(tmp_path, ref_bgt, monkeypatch):
 
 
 def test_import_writes_sites_sidecar(tmp_path):
-    """Native import emits the .sites.npz sidecar identical to the lazy
-    first-query build (VERDICT r4 next #3; reference import.c:117 builds
-    its index at import for the same reason)."""
+    """Native import emits the .sites.bin mmap sidecar identical to the
+    lazy first-query build (VERDICT r4 next #3; reference import.c:117
+    builds its index at import for the same reason)."""
     import numpy as np
 
     vcf = testing.random_vcf(n_samples=9, n_sites=120, seed=77, p_multi=0.3)
     (tmp_path / "in.vcf").write_text(vcf)
     n = importer.import_vcf(str(tmp_path / "db"), [str(tmp_path / "in.vcf")],
                             is_vcf=True)
-    sidecar = tmp_path / "db.sites.npz"
+    sidecar = tmp_path / "db.sites.bin"
     assert sidecar.exists(), "import must write the sidecar eagerly"
-    z = dict(np.load(sidecar))
-    assert z["rid"].size == n
+    from bgt_tpu.formats import sites as sites_fmt
+    z = sites_fmt.load_sidecar(str(sidecar))
+    assert z is not None and z["n"] == n
+    z = {k: (np.array(v) if isinstance(v, np.memmap) else v)
+         for k, v in z.items()}
     sidecar.unlink()
 
     from bgt_tpu.formats import bcf as bcflib
@@ -367,11 +370,24 @@ def test_import_writes_sites_sidecar(tmp_path):
     h0 = bcflib.BcfHeader.read_bcf(fp)
     fp.close()
     st = SiteTable(str(tmp_path / "db"), h0)  # lazy rebuild for comparison
-    for k in ("rid", "pos", "rlen", "n_allele", "ref_len", "alt_len"):
+    for k in ("rid", "pos", "rlen", "n_allele", "ref_len", "alt_len",
+              "ref_off", "alt_off"):
         a, b = z[k], getattr(st, k)
         assert a.dtype == b.dtype and np.array_equal(a, b), k
     assert z["ref_cat"].tobytes() == st.ref_cat
     assert z["alt_cat"].tobytes() == st.alt_cat
+    # and a legacy .sites.npz is still honored
+    np.savez(str(tmp_path / "db.sites.npz"), rid=st.rid, pos=st.pos,
+             rlen=np.asarray(st.rlen, np.int64),
+             n_allele=st.n_allele,
+             ref_len=np.asarray(st.ref_len, np.int64),
+             alt_len=np.asarray(st.alt_len, np.int64),
+             ref_cat=np.frombuffer(st.ref_cat, np.uint8),
+             alt_cat=np.frombuffer(st.alt_cat, np.uint8))
+    (tmp_path / "db.sites.bin").unlink()
+    st2 = SiteTable(str(tmp_path / "db"), h0)
+    assert np.array_equal(st2.pos, st.pos)
+    assert st2.alt_cat == st.alt_cat
 
 
 def test_csi_byte_parity_multi_contig(tmp_path, ref_bgt):
