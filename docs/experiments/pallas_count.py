@@ -1,14 +1,19 @@
-"""Fusion-control experiment: hand-tiled Pallas count kernel (NEGATIVE).
+"""Fusion-control experiment: hand-tiled Pallas count kernel (width-dependent).
 
 Finding (v5e, bench shape 105730 rows x 157 uint32 words, <=32 groups):
 the XLA fusion of ops.counts.count_codes runs the whole unrolled
 bitwise+popcount+reduce in ONE pass over the planes at ~2.3 TB/s
 effective (0.057 ms warm, independent of group count), while this
 hand-tiled Pallas version is orders of magnitude slower because the
-157-word row width fights the (8,128) VPU tiling.  Kept here as the
-documented control, NOT on any production path: for this op the
-compiler's fusion already achieves HBM speed-of-light, so a custom
-kernel can only lose.  Run directly: python docs/experiments/pallas_count.py
+157-word row width fights the (8,128) VPU tiling.
+
+REVERSED at production width (r5): at the lane-aligned 2048-word HRC row
+width a row-tiled Pallas kernel reaches 721 GB/s device-side (~88% of
+v5e HBM peak) vs 514 GB/s for the fusion — `tools/probe_roofline.py`
+holds the measured comparison, and `ops/counts.py:_count_codes_pallas`
+is the production path on TPU at qualifying shapes (words % 128 == 0),
+with the fusion as oracle and fallback.  This file keeps the original
+narrow-width control.  Run directly: python docs/experiments/pallas_count.py
 """
 
 import functools
