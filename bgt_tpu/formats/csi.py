@@ -72,14 +72,17 @@ def reg2bins(beg: int, end: int, min_shift: int, n_lvls: int) -> list[int]:
 class _KhashLayout:
     """khash.h bucket-layout simulator for int keys (reference khash.h).
 
-    Replays the reference's kh_put sequence (distinct keys in first-put
-    order — duplicate puts never change the layout when nothing has been
-    deleted) so :meth:`HtsIndex.save` can emit bins in the exact hash-table
-    iteration order the reference writes (hts.c:465-476), making the .csi
-    byte-identical.  Faithful details: kh_int_hash_func(key)=key, double
-    hashing inc=((k>>3 ^ k<<3)|1)&mask, 0.77 upper bound, kroundup32 table
-    sizes (min 4), and the in-place kick-out rehash whose insertion order
-    differs from a plain scan (khash.h:214-269).
+    Replays the reference's FULL kh_put sequence — including duplicate
+    puts: a put of an existing key still triggers the resize check, and
+    when occupancy sits exactly at the 0.77 bound that duplicate grows the
+    table (observed with the finish-time pseudo-bin re-put), changing the
+    final bucket layout — so :meth:`HtsIndex.save` can emit bins in the
+    exact hash-table iteration order the reference writes (hts.c:465-476),
+    making the .csi byte-identical.  Faithful details:
+    kh_int_hash_func(key)=key, double hashing inc=((k>>3 ^ k<<3)|1)&mask,
+    0.77 upper bound, kroundup32 table sizes (min 4), and the in-place
+    kick-out rehash whose insertion order differs from a plain scan
+    (khash.h:214-269).
     """
 
     _EMPTY, _DEL, _OCC = 2, 1, 0
@@ -174,8 +177,9 @@ class HtsIndex:
         self.bidx: list[dict[int, list]] = [dict() for _ in range(n_ctg)]
         self.lidx: list[list[int]] = [[] for _ in range(n_ctg)]
         self.loff: list[dict[int, int]] = [dict() for _ in range(n_ctg)]
-        # distinct bins per contig in first-put order, INCLUDING bins later
-        # deleted by the merge pass — the khash layout replay needs them
+        # per-contig FULL kh_put sequence (duplicates included — they can
+        # trigger khash resizes; bins later deleted by the merge pass stay
+        # in the sequence as the layout replay needs them)
         self._bin_order: list[list[int]] = [[] for _ in range(n_ctg)]
         self.ridx: list[int] = []
         self.n_rec = 0
@@ -192,9 +196,9 @@ class HtsIndex:
     # --- construction ------------------------------------------------------
 
     def _insert_b(self, tid: int, b: int, beg: int, end: int) -> None:
+        self._bin_order[tid].append(b)  # every put, duplicates included
         if b not in self.bidx[tid]:
             self.bidx[tid][b] = []
-            self._bin_order[tid].append(b)
         self.bidx[tid][b].append((beg, end))
 
     def _insert_l(self, tid: int, beg: int, end: int, offset: int) -> None:
@@ -323,9 +327,9 @@ class HtsIndex:
         tl = tid[starts].tolist()
         for k in range(starts.size):
             d = self.bidx[tl[k]]
+            self._bin_order[tl[k]].append(bl[k])
             if bl[k] not in d:
                 d[bl[k]] = []
-                self._bin_order[tl[k]].append(bl[k])
             d[bl[k]].append((u[k], v[k]))
 
         # per-tid meta pseudo-bin: file span + (n_mapped, n_unmapped)
@@ -337,8 +341,11 @@ class HtsIndex:
             i = int(tid[tstarts[k]])
             if self.n_bins + 1 not in self.bidx[i]:
                 self.bidx[i][self.n_bins + 1] = []
-                self._bin_order[i].append(self.n_bins + 1)
             m = self.bidx[i][self.n_bins + 1]
+            if k < tstarts.size - 1:
+                # two pseudo-bin puts per CLOSED contig (span + counts);
+                # the final contig's puts happen in finish()
+                self._bin_order[i] += [self.n_bins + 1, self.n_bins + 1]
             # all but the last tid's span closes here; the last closes in
             # finish() at the final offset, exactly like the push builder
             if k < tstarts.size - 1:
@@ -354,9 +361,11 @@ class HtsIndex:
         self._n_unmapped = 0
         self._last_off = int(voff[-1])
         self._last_coor = int(beg[-1])
-        # drop the final run's chunk: finish() re-inserts it closed at the
-        # final offset (matching the push builder's save_bin handling)
+        # drop the final run's chunk AND its put-sequence entry: finish()
+        # re-inserts it closed at the final offset (matching the push
+        # builder's save_bin handling)
         self.bidx[tl[-1]][bl[-1]].pop()
+        self._bin_order[tl[-1]].pop()
 
         # linear index: slot -> offset of the first record covering it
         ms = self.min_shift
@@ -475,15 +484,16 @@ class HtsIndex:
     def _bins_in_hash_order(self, i: int) -> list[int]:
         """Bins of contig ``i`` in the reference's khash iteration order.
 
-        Replays the first-put sequence (including bins later deleted by the
-        merge pass — they leave tombstones that do not reorder survivors)
-        through the layout simulator, then drops deleted bins.  Falls back
+        Replays the full put sequence (duplicates drive resize timing;
+        bins later deleted by the merge pass leave tombstones that do not
+        reorder survivors) through the layout simulator, then drops
+        deleted bins.  Falls back
         to dict order when the put order was not recorded (e.g. an index
         populated by :meth:`load`)."""
         order = self._bin_order[i] if i < len(self._bin_order) else None
         bidx = self.bidx[i]
         if not order:
-            order = list(bidx)
+            order = list(bidx)  # loaded index: dict order, no replay info
         kh = _KhashLayout()
         for b in order:
             kh.put(b)

@@ -197,13 +197,15 @@ def _assemble_csi(idx: HtsIndex, csi: dict) -> None:
     (same contract, ~12 s cheaper at 39.2M rows)."""
     for i, (run_bin, run_u, run_v, lidx) in enumerate(csi["ctg"]):
         d = idx.bidx[i]
-        order = idx._bin_order[i]
-        for b, u, v in zip(run_bin.tolist(), run_u.tolist(),
-                           run_v.tolist()):
+        bins = run_bin.tolist()
+        # the khash layout replay needs the FULL put sequence, duplicates
+        # included (they drive resize timing) — the native builder records
+        # one entry per insert_to_b
+        idx._bin_order[i] = bins
+        for b, u, v in zip(bins, run_u.tolist(), run_v.tolist()):
             lst = d.get(b)
             if lst is None:
                 lst = d[b] = []
-                order.append(b)
             lst.append((u, v))
         idx.lidx[i] = lidx.tolist()
     idx.ridx = csi["ridx"].astype(np.int64).tolist()

@@ -194,7 +194,9 @@ def one_iter(seed: int) -> None:
             return
         importer.import_vcf(str(tmp / "ourdb"), [str(s) for s in srcs],
                             is_vcf=is_vcf, gen_pb1=gen_pb1)
-        exts = [".bcf", ".pbf", ".spl"] + ([".pb1"] if gen_pb1 else [])
+        # .bcf.csi joined the byte-compared set in r5 (khash-order bins)
+        exts = [".bcf", ".pbf", ".spl", ".bcf.csi"] \
+            + ([".pb1"] if gen_pb1 else [])
         for ext in exts:
             a = (tmp / f"ourdb{ext}").read_bytes()
             b = (tmp / f"refdb{ext}").read_bytes()
