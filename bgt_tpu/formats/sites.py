@@ -90,4 +90,24 @@ def load_sidecar(path: str) -> dict | None:
                               shape=(ln,))
         off = _align(off + ln)
     out["n"] = n
+    out["path"] = path
+    # byte extent of the region-mask columns (rid/pos/rlen are the first
+    # three arrays): one buffered sequential read warms them at disk speed
+    # instead of the mask computation faulting 4 KiB at a time
+    out["mask_cols_end"] = _align(_align(36) + 4 * n) + 8 * n + 4 * n
     return out
+
+
+def prefault_range(path: str, end: int, chunk: int = 32 << 20) -> None:
+    """Buffered sequential read of bytes [0, end) to warm the page cache."""
+    buf = bytearray(chunk)
+    try:
+        with open(path, "rb", buffering=0) as fp:
+            left = end
+            while left > 0:
+                n = fp.readinto(memoryview(buf)[: min(chunk, left)])
+                if not n:
+                    break
+                left -= n
+    except OSError:
+        pass

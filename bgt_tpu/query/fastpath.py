@@ -95,9 +95,23 @@ class SiteTable:
         self.alt_off = z["alt_off"]
         self._ref_cat_mm = z["ref_cat"]
         self._alt_cat_mm = z["alt_cat"]
+        self._sidecar_path = z["path"]
+        self._mask_cols_end = z["mask_cols_end"]
+        self._mask_warm = False
         self._refs = None
         self._alts = None
         return True
+
+    def prefault_mask_cols(self) -> None:
+        """Warm the rid/pos/rlen pages with one buffered sequential read
+        (once per process): the vectorized region mask over a cold mmap
+        otherwise faults 4 KiB at a time (measured 4.8 s vs ~0.4 s for
+        628 MB at the 39.2M-site shape)."""
+        if getattr(self, "_mask_warm", True):
+            return
+        self._mask_warm = True
+        from ..formats import sites as sites_fmt
+        sites_fmt.prefault_range(self._sidecar_path, self._mask_cols_end)
 
     @property
     def ref_cat(self) -> bytes:
@@ -766,6 +780,7 @@ class _DbCtx:
         g = self.g
         if g.itr is not None:
             it = g.itr
+            st.prefault_mask_cols()
             mask = (st.rid == it.tid) & (st.pos < it.end) & (st.pos + st.rlen > it.beg)
             rows = np.nonzero(mask)[0]
         elif self.opt.seekn > 0:
