@@ -88,3 +88,45 @@ def test_bgzf_writer_flush_then_write():
     w.close()
     buf.seek(0)
     assert BgzfReader(buf).read(len(d1) + len(d2) + 10) == d1 + d2
+
+
+def test_khash_layout_fuzz_vs_reference():
+    """_KhashLayout (the .csi bin-order simulator) matches the reference
+    khash.h bucket-iteration order on randomized put sequences, including
+    heavy duplication (duplicate puts drive resize timing, the bug class
+    the r5 soak caught) and bin-like key distributions."""
+    import random
+    import subprocess
+    from pathlib import Path
+
+    from bgt_tpu.formats.csi import _KhashLayout
+
+    repo = Path(__file__).resolve().parent.parent
+    exe = repo / "build" / "ref" / "khash_oracle"
+    if not exe.exists():
+        subprocess.run(
+            ["gcc", "-O2", "-I", "/root/reference",
+             "-o", str(exe), str(repo / "tools" / "khash_oracle.c")],
+            check=True)
+    rng = random.Random(42)
+    for trial in range(120):
+        n = rng.randint(0, 400)
+        style = trial % 3
+        seq = []
+        for _ in range(n):
+            if style == 0:      # bin-like: clustered level-5 bins + pseudo
+                key = rng.choice([4681 + rng.randint(0, 60), 37450,
+                                  585 + rng.randint(0, 8), 0])
+            elif style == 1:    # heavy duplication from a tiny pool
+                key = rng.choice([1, 2, 3, 0xFFFFFFFF, 7777])
+            else:               # uniform 32-bit
+                key = rng.getrandbits(32)
+            seq.append(key)
+        want = subprocess.run(
+            [str(exe)], input="".join(f"{k}\n" for k in seq),
+            capture_output=True, text=True, check=True).stdout.split()
+        kh = _KhashLayout()
+        for k in seq:
+            kh.put(k)
+        got = [str(k) for k in kh.order()]
+        assert got == want, (trial, len(seq), seq[:20])
