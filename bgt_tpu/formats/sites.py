@@ -82,12 +82,15 @@ def load_sidecar(path: str) -> dict | None:
     out = {}
     off = _align(36)
     for name, dt in _ARRAYS:
-        out[name] = np.memmap(path, dtype=dt, mode="r", offset=off,
-                              shape=(n,))
+        # zero-length arrays: no mmap (mapping past EOF is invalid)
+        out[name] = (np.zeros(0, dt) if n == 0 else
+                     np.memmap(path, dtype=dt, mode="r", offset=off,
+                               shape=(n,)))
         off = _align(off + n * np.dtype(dt).itemsize)
     for name, ln in (("ref_cat", rc_len), ("alt_cat", ac_len)):
-        out[name] = np.memmap(path, dtype=np.uint8, mode="r", offset=off,
-                              shape=(ln,))
+        out[name] = (np.zeros(0, np.uint8) if ln == 0 else
+                     np.memmap(path, dtype=np.uint8, mode="r", offset=off,
+                               shape=(ln,)))
         off = _align(off + ln)
     out["n"] = n
     out["path"] = path

@@ -411,3 +411,41 @@ def test_csi_byte_parity_multi_contig(tmp_path, ref_bgt):
     finally:
         del os.environ["BGT_TPU_NATIVE_IMPORT"]
     assert (tmp_path / "py.bcf.csi").read_bytes() == want
+
+
+def test_import_all_filtered_empty_db(tmp_path):
+    """A fully-filtered input yields a 0-row database whose sidecar loads
+    and queries cleanly (the mmap loader must not map past EOF)."""
+    vcf = testing.random_vcf(n_samples=4, n_sites=10, seed=3,
+                             with_filter=True)
+    lines = []
+    for ln in vcf.splitlines():
+        if ln.startswith("#"):
+            lines.append(ln)
+            continue
+        f = ln.split("\t")
+        f[6] = "q10"
+        lines.append("\t".join(f))
+    (tmp_path / "in.vcf").write_text("\n".join(lines) + "\n")
+    n = importer.import_vcf(str(tmp_path / "db"),
+                            [str(tmp_path / "in.vcf")], is_vcf=True)
+    assert n == 0
+    import io
+    import os
+    from bgt_tpu.formats import bcf as bcflib
+    from bgt_tpu.io.bgzf import BgzfReader
+    from bgt_tpu.query.fastpath import SiteTable
+    from bgt_tpu.query.view import main_view
+    fp = BgzfReader(str(tmp_path / "db.bcf"))
+    h0 = bcflib.BcfHeader.read_bcf(fp)
+    fp.close()
+    st = SiteTable(str(tmp_path / "db"), h0)
+    assert st.n == 0
+    buf = io.StringIO()
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main_view(["-C", "db"], out=buf) == 0
+    finally:
+        os.chdir(old)
+    assert all(ln.startswith("#") for ln in buf.getvalue().splitlines())
