@@ -6,8 +6,8 @@ a region query faults in only the pages it touches (the region mask scans
 rid/pos/rlen; allele text pages load only for emitted rows).  Allele
 offsets are precomputed at build so open does no cumsum pass.
 
-Layout: 36-byte header (magic, version, n, ref_cat_len, alt_cat_len) +
-64-byte-aligned arrays in fixed order:
+Layout: 44-byte header (magic, version, n, ref_cat_len, alt_cat_len,
+max_rlen) + 64-byte-aligned arrays in fixed order:
 rid i32[n], pos i64[n], rlen i32[n], n_allele i32[n], ref_len i32[n],
 alt_len i32[n], ref_off i64[n], alt_off i64[n], ref_cat u8, alt_cat u8.
 """
@@ -18,7 +18,7 @@ import struct
 
 import numpy as np
 
-MAGIC = b"BGTSITE1"
+MAGIC = b"BGTSITE2"  # v2 added max_rlen to the header
 _ARRAYS = (  # (name, dtype)
     ("rid", np.int32), ("pos", np.int64), ("rlen", np.int32),
     ("n_allele", np.int32), ("ref_len", np.int32), ("alt_len", np.int32),
@@ -49,10 +49,12 @@ def write_sidecar(path: str, rid, pos, rlen, n_allele, ref_len, alt_len,
     cols = {"rid": rid, "pos": pos, "rlen": rlen, "n_allele": n_allele,
             "ref_len": ref_len, "alt_len": alt_len,
             "ref_off": ref_off, "alt_off": alt_off}
+    max_rlen = int(np.asarray(rlen).max()) if n else 0
     tmp = path + ".tmp"
     with open(tmp, "wb") as fp:
         fp.write(MAGIC)
-        fp.write(struct.pack("<Iqqq", 1, n, ref_cat.size, alt_cat.size))
+        fp.write(struct.pack("<Iqqqq", 2, n, ref_cat.size, alt_cat.size,
+                             max_rlen))
         off = _align(fp.tell())
         for name, dt in _ARRAYS:
             fp.seek(off)
@@ -73,14 +75,14 @@ def load_sidecar(path: str) -> dict | None:
     uint8 views), or None if the file is missing/not this format."""
     try:
         with open(path, "rb") as fp:
-            hdr = fp.read(36)
+            hdr = fp.read(44)
     except OSError:
         return None
-    if len(hdr) < 36 or hdr[:8] != MAGIC:
+    if len(hdr) < 44 or hdr[:8] != MAGIC:
         return None
-    _ver, n, rc_len, ac_len = struct.unpack("<Iqqq", hdr[8:36])
-    out = {}
-    off = _align(36)
+    _ver, n, rc_len, ac_len, max_rlen = struct.unpack("<Iqqqq", hdr[8:44])
+    out = {"max_rlen": max_rlen}
+    off = _align(44)
     for name, dt in _ARRAYS:
         # zero-length arrays: no mmap (mapping past EOF is invalid)
         out[name] = (np.zeros(0, dt) if n == 0 else
@@ -94,19 +96,21 @@ def load_sidecar(path: str) -> dict | None:
         off = _align(off + ln)
     out["n"] = n
     out["path"] = path
-    # byte extent of the region-mask columns (rid/pos/rlen are the first
-    # three arrays): one buffered sequential read warms them at disk speed
-    # instead of the mask computation faulting 4 KiB at a time
-    out["mask_cols_end"] = _align(_align(36) + 4 * n) + 8 * n + 4 * n
+    # byte offsets of the pos/rlen arrays (regions prefault only the
+    # searchsorted window of these; rid is probed via O(log n) faults)
+    out["pos_base"] = _align(_align(44) + 4 * n)
+    out["rlen_base"] = _align(out["pos_base"] + 8 * n)
     return out
 
 
-def prefault_range(path: str, end: int, chunk: int = 32 << 20) -> None:
-    """Buffered sequential read of bytes [0, end) to warm the page cache."""
+def prefault_range(path: str, start: int, end: int,
+                   chunk: int = 32 << 20) -> None:
+    """Buffered sequential read of bytes [start, end) to warm the cache."""
     buf = bytearray(chunk)
     try:
         with open(path, "rb", buffering=0) as fp:
-            left = end
+            fp.seek(start)
+            left = end - start
             while left > 0:
                 n = fp.readinto(memoryview(buf)[: min(chunk, left)])
                 if not n:
