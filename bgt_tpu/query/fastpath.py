@@ -819,12 +819,17 @@ class _DbCtx:
             # 39.2M-element mask scan; only pos+rlen>beg needs elementwise
             # work inside the window (reference seam: hts.c:725-814 walks
             # CSI chunks for the same reason)
-            lo_t = int(np.searchsorted(st.rid, it.tid, "left"))
-            hi_t = int(np.searchsorted(st.rid, it.tid, "right"))
+            # needles must match the array dtype: a Python-int needle vs an
+            # int32 mmap column makes numpy promote (= copy) the whole
+            # 157 MB array before the binary search (measured 267 ms vs
+            # 0.01 ms)
+            tid32 = np.int32(it.tid)
+            lo_t = int(np.searchsorted(st.rid, tid32, "left"))
+            hi_t = int(np.searchsorted(st.rid, tid32, "right"))
             sub = st.pos[lo_t:hi_t]
-            lo = lo_t + int(np.searchsorted(sub, it.beg - st.max_rlen + 1,
-                                            "left"))
-            hi = lo_t + int(np.searchsorted(sub, it.end, "left"))
+            lo = lo_t + int(np.searchsorted(
+                sub, np.int64(it.beg - st.max_rlen + 1), "left"))
+            hi = lo_t + int(np.searchsorted(sub, np.int64(it.end), "left"))
             st.prefault_rows(lo, hi)
             mask = (st.pos[lo:hi] + st.rlen[lo:hi] > it.beg)
             rows = lo + np.nonzero(mask)[0]
