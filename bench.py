@@ -661,6 +661,107 @@ _HBM_PEAK_GBS = {
 }
 
 
+def bench_multidb(ref_bgt: str, extra: dict) -> None:
+    """Multi-database (bgtm) merge queries at bench scale: the 1kg cohort
+    split into two half-sample databases and queried jointly — the
+    reference's own scaling axis (bgt.c:797-878; the paper's merge-speed
+    claim, tex/bgt.tex:233-235).  Builds are stamped; queries + parity run
+    every time."""
+    import hashlib
+
+    from bgt_tpu.query import importer
+    from bgt_tpu.query.view import main_view
+
+    src = BENCH_DIR / PRIMARY / "in.vcf"
+    if not src.exists():
+        return
+    d = BENCH_DIR / "multidb"
+    d.mkdir(parents=True, exist_ok=True)
+    ex = extra.setdefault("multidb", {})
+    stamp = d / "stamp-split-1kg"
+    if stamp.exists():
+        ex.update(json.loads(stamp.read_text()))
+    else:
+        import numpy as np
+        meta = {}
+        log("[multidb] splitting the 1kg cohort into two sample halves...")
+        t0 = time.time()
+        n_first = CONFIGS[PRIMARY]["n_samples"] // 2
+        cut_col = 9 + n_first  # fixed VCF cols + first half's samples
+        with open(src, "rb") as fin, \
+                open(d / "a.vcf", "wb") as fa, open(d / "b.vcf", "wb") as fb:
+            for line in fin:
+                if line.startswith(b"##"):
+                    fa.write(line)
+                    fb.write(line)
+                    continue
+                tabs = np.nonzero(
+                    np.frombuffer(line, np.uint8) == 9)[0]
+                head_end = int(tabs[8])
+                cut = int(tabs[cut_col - 1])
+                fa.write(line[:cut])
+                fa.write(b"\n")
+                fb.write(line[:head_end])
+                fb.write(line[cut:])
+        meta["split_s"] = round(time.time() - t0, 1)
+        for half in ("a", "b"):
+            t0 = time.time()
+            importer.import_vcf(str(d / f"our_{half}"),
+                                [str(d / f"{half}.vcf")], is_vcf=True)
+            meta[f"import_ours_{half}_s"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            subprocess.run([ref_bgt, "import", "-S", f"ref_{half}",
+                            f"{half}.vcf"], cwd=d, check=True,
+                           capture_output=True)
+            meta[f"import_ref_{half}_s"] = round(time.time() - t0, 1)
+            same = all(_file_cmp(d / f"our_{half}{e}", d / f"ref_{half}{e}")
+                       for e in (".bcf", ".pbf", ".bcf.csi"))
+            meta[f"parity_import_{half}"] = same
+        stamp.write_text(json.dumps(meta))
+        ex.update(meta)
+
+    class M(io.TextIOBase):
+        def __init__(self):
+            self.h = hashlib.md5()
+
+        def write(self, s):
+            self.h.update(s.encode("latin-1"))
+            return len(s)
+
+    region = "11:10000000-60000000"
+    queries = {
+        "merge_gc": ["-G", "-C"],
+        "merge_region_flt": ["-G", "-C", "-r", region, "-f", "AC>10"],
+    }
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        for qname, args in queries.items():
+            m = M()
+            t0 = time.time()
+            assert main_view(args + ["our_a", "our_b"], out=m) == 0
+            first = time.time() - t0
+            m = M()
+            t0 = time.time()
+            assert main_view(args + ["our_a", "our_b"], out=m) == 0
+            ex[f"q_{qname}_first_s"] = round(first, 3)
+            ex[f"q_{qname}_warm_s"] = round(time.time() - t0, 3)
+            h = hashlib.md5()
+            t0 = time.time()
+            with subprocess.Popen(
+                    [ref_bgt, "view"] + args + ["ref_a", "ref_b"],
+                    stdout=subprocess.PIPE) as p:
+                for blk in iter(lambda: p.stdout.read(1 << 20), b""):
+                    h.update(blk)
+            ex[f"q_{qname}_ref_s"] = round(time.time() - t0, 3)
+            ex[f"parity_{qname}"] = h.hexdigest() == m.h.hexdigest()
+            log(f"[multidb] {qname}: ours {ex[f'q_{qname}_warm_s']}s vs "
+                f"ref {ex[f'q_{qname}_ref_s']}s, parity "
+                f"{ex[f'parity_{qname}']}")
+    finally:
+        os.chdir(old)
+
+
 def measure_device_kernel(extra: dict) -> None:
     """Measured device bandwidth of the count kernel at the bench shape.
 
@@ -819,6 +920,11 @@ def main():
         except Exception as e:  # noqa: BLE001 - must not kill the bench
             log(f"hrc_full failed: {e}")
             extra.setdefault("hrc_full", {})["error"] = str(e)[:300]
+    try:
+        bench_multidb(ref_bgt, extra)
+    except Exception as e:  # noqa: BLE001 - must not kill the bench
+        log(f"multidb failed: {e}")
+        extra.setdefault("multidb", {})["error"] = str(e)[:300]
     # scaling methodology block (tools/bench_scaling.py; BASELINE.md:29)
     try:
         out = subprocess.run([sys.executable,
