@@ -387,75 +387,167 @@ int64_t bgt_gtc_from_pbf(const char* pbf_path, const char* gtc_path,
         }
     }
 
+    // Build strategy (r5 rewrite): parse the framing from a bounded
+    // sliding-window buffer with pointer arithmetic (the old per-row
+    // stdio walk cost tens of seconds of call overhead at 39.2M rows),
+    // then decode the two planes' independent PBWT chains on two threads
+    // per block — halves the wide-matrix decode on a 2-core host.  The
+    // window refills only BETWEEN blocks (row refs point into it), so
+    // memory stays O(block), preserving the bounded-memory guarantee
+    // (tests/test_tiles_shard.py::test_native_build_bounded_memory).
     std::vector<PbwtPlane*> planes;
     for (int k = 0; k < g; ++k) planes.push_back(new PbwtPlane(m));
-    std::vector<uint8_t> rlebuf((size_t)m * 2 + 16);
-    int64_t block_rows = (8 << 20) / row_bytes;
-    if (block_rows < 16) block_rows = 16;
-    if (block_rows > n_rows && n_rows > 0) block_rows = n_rows;
-    std::vector<uint32_t> blk0((size_t)block_rows * n_words, 0u);
-    std::vector<uint32_t> blk1((size_t)block_rows * n_words, 0u);
-    std::vector<int32_t> sblk((size_t)block_rows * 4);
-
-    int64_t r = 0;
     int rc = 0;
-    while (r < n_rows) {
-        int64_t nb_rows = std::min(block_rows, n_rows - r);
-        memset(blk0.data(), 0, (size_t)nb_rows * row_bytes);
-        memset(blk1.data(), 0, (size_t)nb_rows * row_bytes);
-        for (int64_t i = 0; i < nb_rows; ++i) {
-            int t = fgetc(in);
-            if (t == 'S') {
-                for (int k = 0; k < g; ++k)
-                    if (fread(planes[k]->S.data(), 4, (size_t)m, in) !=
-                        (size_t)m) {
+    try {
+        // worst-case bytes one row can occupy: 'S' + 2 S arrays + 'B' +
+        // 2 * (len + rle payload); the encoder's own rle bound is 2m+16
+        const size_t max_row_need =
+            2 + 2 * (size_t)m * 4 + 2 * (4 + 2 * (size_t)m + 16) + 64;
+        std::vector<uint8_t> fbuf(std::max((size_t)4 << 20,
+                                           2 * max_row_need));
+        size_t blo = 0, bhi = 0;  // valid window [blo, bhi)
+        bool eof = false;
+        auto refill = [&]() {
+            if (blo > 0) {
+                memmove(fbuf.data(), fbuf.data() + blo, bhi - blo);
+                bhi -= blo;
+                blo = 0;
+            }
+            while (!eof && bhi < fbuf.size()) {
+                size_t got = fread(fbuf.data() + bhi, 1,
+                                   fbuf.size() - bhi, in);
+                bhi += got;
+                if (got == 0) eof = true;
+            }
+        };
+
+        int64_t block_rows = (8 << 20) / row_bytes;
+        if (block_rows < 16) block_rows = 16;
+        if (block_rows > n_rows && n_rows > 0) block_rows = n_rows;
+        std::vector<uint32_t> blk0((size_t)block_rows * n_words, 0u);
+        std::vector<uint32_t> blk1((size_t)block_rows * n_words, 0u);
+        std::vector<int32_t> sblk((size_t)block_rows * 4);
+        struct RowRef {
+            const uint8_t* s[2];    // per-plane S checkpoint data (or null)
+            const uint8_t* rle[2];
+            int32_t l[2];
+        };
+        std::vector<RowRef> refs((size_t)block_rows);
+        bool threaded = std::thread::hardware_concurrency() >= 2;
+
+        int64_t r = 0;
+        while (r < n_rows) {
+            refill();
+            const uint8_t* base = fbuf.data();
+            size_t pos = blo, end = bhi;
+            int64_t nb_rows = 0;
+            int64_t want = std::min(block_rows, n_rows - r);
+            while (nb_rows < want) {
+                // stop the block while a refill could still complete a row
+                if (!eof && end - pos < max_row_need) break;
+                RowRef& rr = refs[(size_t)nb_rows];
+                if (pos >= end) {
+                    rc = -2;
+                    goto out;
+                }
+                if (base[pos] == 'S') {
+                    ++pos;
+                    if (end - pos < 2 * (size_t)m * 4) {
                         rc = -2;
                         goto out;
                     }
-                t = fgetc(in);
+                    rr.s[0] = base + pos;
+                    rr.s[1] = base + pos + (size_t)m * 4;
+                    pos += 2 * (size_t)m * 4;
+                } else {
+                    rr.s[0] = rr.s[1] = nullptr;
+                }
+                if (pos >= end || base[pos] != 'B') {
+                    rc = -2;
+                    goto out;
+                }
+                ++pos;
+                for (int k = 0; k < 2; ++k) {
+                    if (end - pos < 4) {
+                        rc = -2;
+                        goto out;
+                    }
+                    int32_t l;
+                    memcpy(&l, base + pos, 4);
+                    pos += 4;
+                    if (l < 0 || (size_t)l > 2 * (size_t)m + 16 ||
+                        end - pos < (size_t)l) {
+                        rc = -2;
+                        goto out;
+                    }
+                    rr.rle[k] = base + pos;
+                    rr.l[k] = l;
+                    pos += (size_t)l;
+                }
+                ++nb_rows;
             }
-            if (t != 'B') {
+            if (nb_rows == 0) {  // no progress possible: truncated input
                 rc = -2;
                 goto out;
             }
-            uint32_t* rows[2] = {blk0.data() + i * n_words,
-                                 blk1.data() + i * n_words};
-            for (int k = 0; k < g; ++k) {
-                int32_t l;
-                if (fread(&l, 4, 1, in) != 1) {
-                    rc = -2;
-                    goto out;
+            blo = pos;
+            memset(blk0.data(), 0, (size_t)nb_rows * row_bytes);
+            memset(blk1.data(), 0, (size_t)nb_rows * row_bytes);
+            // decode: plane 1 on a worker, plane 0 on this thread
+            auto decode_plane = [&](int k, uint32_t* blk) {
+                PbwtPlane* pl = planes[k];
+                for (int64_t i = 0; i < nb_rows; ++i) {
+                    const RowRef& rr = refs[(size_t)i];
+                    if (rr.s[k])
+                        memcpy(pl->S.data(), rr.s[k], (size_t)m * 4);
+                    pl->decode_to_bits(rr.rle[k], rr.l[k],
+                                       blk + i * n_words);
                 }
-                if ((size_t)l > rlebuf.size()) rlebuf.resize(l);
-                if (fread(rlebuf.data(), 1, (size_t)l, in) != (size_t)l) {
-                    rc = -2;
-                    goto out;
+            };
+            if (threaded) {
+                try {
+                    std::thread t1(decode_plane, 1, blk1.data());
+                    decode_plane(0, blk0.data());
+                    t1.join();
+                } catch (const std::system_error&) {
+                    // thread creation can fail under a hard RLIMIT_DATA
+                    // (the stack mmap counts): decode sequentially
+                    threaded = false;
                 }
-                planes[k]->decode_to_bits(rlebuf.data(), l, rows[k]);
             }
-            int32_t n10 = 0, n11 = 0, nbb = 0;
-            for (int32_t w = 0; w < n_words; ++w) {
-                n10 += __builtin_popcount(rows[0][w]);
-                n11 += __builtin_popcount(rows[1][w]);
-                nbb += __builtin_popcount(rows[0][w] & rows[1][w]);
+            if (!threaded) {
+                decode_plane(0, blk0.data());
+                decode_plane(1, blk1.data());
             }
-            int32_t cnt1 = n10 - nbb, cnt2 = n11 - nbb;
-            int32_t* s = sblk.data() + i * 4;
-            s[0] = m - cnt1 - cnt2 - nbb;
-            s[1] = cnt1;
-            s[2] = cnt2;
-            s[3] = nbb;
+            for (int64_t i = 0; i < nb_rows; ++i) {
+                const uint32_t* w0 = blk0.data() + i * n_words;
+                const uint32_t* w1 = blk1.data() + i * n_words;
+                int32_t n10 = 0, n11 = 0, nbb = 0;
+                for (int32_t w = 0; w < n_words; ++w) {
+                    n10 += __builtin_popcount(w0[w]);
+                    n11 += __builtin_popcount(w1[w]);
+                    nbb += __builtin_popcount(w0[w] & w1[w]);
+                }
+                int32_t cnt1 = n10 - nbb, cnt2 = n11 - nbb;
+                int32_t* s = sblk.data() + i * 4;
+                s[0] = m - cnt1 - cnt2 - nbb;
+                s[1] = cnt1;
+                s[2] = cnt2;
+                s[3] = nbb;
+            }
+            if (!pwrite_all(fd, blk0.data(), (size_t)nb_rows * row_bytes,
+                            hdr + r * row_bytes) ||
+                !pwrite_all(fd, blk1.data(), (size_t)nb_rows * row_bytes,
+                            hdr + plane_bytes + r * row_bytes) ||
+                !pwrite_all(fd, sblk.data(), (size_t)nb_rows * 16,
+                            stats_off + r * 16)) {
+                rc = -5;
+                goto out;
+            }
+            r += nb_rows;
         }
-        if (!pwrite_all(fd, blk0.data(), (size_t)nb_rows * row_bytes,
-                        hdr + r * row_bytes) ||
-            !pwrite_all(fd, blk1.data(), (size_t)nb_rows * row_bytes,
-                        hdr + plane_bytes + r * row_bytes) ||
-            !pwrite_all(fd, sblk.data(), (size_t)nb_rows * 16,
-                        stats_off + r * 16)) {
-            rc = -5;
-            goto out;
-        }
-        r += nb_rows;
+    } catch (const std::bad_alloc&) {
+        rc = -6;
     }
 out:
     fclose(in);
