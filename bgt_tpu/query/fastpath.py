@@ -1114,7 +1114,6 @@ class _DbCtx:
         SURVEY §7.5 ("GT gather via all_gather only when genotype output is
         requested"); replaces the former hard error (VERDICT r3 missing #1).
         """
-        import jax.numpy as jnp
         sharding = get_shard_context()
         if sharding is None:
             raise ValueError(
