@@ -2,9 +2,12 @@
 
 Replaces the ``.sites.npz`` sidecar: at 39.2M sites the npz cost ~8 s of
 eager read + copy on first open, while this format memory-maps in O(1) and
-a region query faults in only the pages it touches (the region mask scans
-rid/pos/rlen; allele text pages load only for emitted rows).  Allele
-offsets are precomputed at build so open does no cumsum pass.
+a region query faults in only the pages it touches (region selection is
+a searchsorted window over rid/pos with an rlen test inside it; the
+concatenated allele text materializes lazily as bytes on the first
+emitting query — native consumers that accept raw pointers read the mmap
+directly).  Allele offsets are precomputed at build so open does no
+cumsum pass.
 
 Layout: 44-byte header (magic, version, n, ref_cat_len, alt_cat_len,
 max_rlen) + 64-byte-aligned arrays in fixed order:

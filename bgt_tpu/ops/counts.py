@@ -194,10 +194,15 @@ def _count_codes_pallas(p0, p1, masks):
 def _use_pallas(rows: int, words: int, g: int) -> bool:
     """Shape/backend gate for the Pallas path: TPU backend, lane-aligned
     word width, enough rows to fill a tile, and 3*g raw sums fitting the
-    128-lane output block.  BGT_TPU_PALLAS=0 forces the XLA fusion."""
+    128-lane output block.  Width >= 1024 keeps the 128-lane-padded raw
+    output (512 B/row/chunk, the minimum Mosaic block width) under ~12%
+    extra HBM write traffic — at narrow widths the padding would rival the
+    planes themselves and the XLA fusion wins anyway.
+    BGT_TPU_PALLAS=0 forces the XLA fusion."""
     if os.environ.get("BGT_TPU_PALLAS", "1") == "0":
         return False
-    if words % 128 != 0 or rows < _PALLAS_TILE or 3 * g > 128:
+    if words % 128 != 0 or words < 1024 or rows < _PALLAS_TILE \
+            or 3 * g > 128:
         return False
     try:
         return jax.default_backend() == "tpu"

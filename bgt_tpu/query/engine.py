@@ -513,19 +513,32 @@ class AlleleSet:
         def vp(a):
             return ctypes.c_void_p(a.ctypes.data)
 
-        rid = np.ascontiguousarray(st.rid, np.int32)
-        pos = np.ascontiguousarray(st.pos, np.int64)
-        rlen = np.ascontiguousarray(st.rlen, np.int64)
-        roff = np.ascontiguousarray(st.ref_off, np.int64)
-        rlen2 = np.ascontiguousarray(st.ref_len, np.int64)
-        aoff = np.ascontiguousarray(st.alt_off, np.int64)
-        alen = np.ascontiguousarray(st.alt_len, np.int64)
+        # gather only the selected rows' columns: a full-table
+        # ascontiguousarray cast against a .sites.bin-backed (int32,
+        # memory-mapped) table would copy+fault all 39.2M rows per call;
+        # the allele offsets stay global, so the cat buffers pass whole
+        # (raw mmap pointers when available — pages fault on demand)
+        idx = rows_c
+        rid = np.ascontiguousarray(np.asarray(st.rid)[idx], np.int32)
+        pos = np.ascontiguousarray(np.asarray(st.pos)[idx], np.int64)
+        rlen = np.ascontiguousarray(np.asarray(st.rlen)[idx], np.int64)
+        roff = np.ascontiguousarray(np.asarray(st.ref_off)[idx], np.int64)
+        rlen2 = np.ascontiguousarray(np.asarray(st.ref_len)[idx], np.int64)
+        aoff = np.ascontiguousarray(np.asarray(st.alt_off)[idx], np.int64)
+        alen = np.ascontiguousarray(np.asarray(st.alt_len)[idx], np.int64)
+        seq = np.arange(rows_c.size, dtype=np.int64)
+
+        def cat_vp(which):
+            mm = getattr(st, f"_{which}_cat_mm", None)
+            if mm is not None:
+                return ctypes.c_void_p(mm.ctypes.data)
+            return ctypes.cast(ctypes.c_char_p(getattr(st, f"{which}_cat")),
+                               ctypes.c_void_p)
+
         self._lib.bgt_al_match(
-            self._h, vp(rows_c), rows_c.size, vp(rid), vp(pos), vp(rlen),
-            vp(roff), vp(rlen2),
-            ctypes.cast(ctypes.c_char_p(st.ref_cat), ctypes.c_void_p),
-            vp(aoff), vp(alen),
-            ctypes.cast(ctypes.c_char_p(st.alt_cat), ctypes.c_void_p),
+            self._h, vp(seq), seq.size, vp(rid), vp(pos), vp(rlen),
+            vp(roff), vp(rlen2), cat_vp("ref"),
+            vp(aoff), vp(alen), cat_vp("alt"),
             ctypes.cast(ctypes.c_char_p(ctg_cat), ctypes.c_void_p),
             vp(ctg_off), vp(ctg_len), vp(kinds))
         return kinds

@@ -222,6 +222,21 @@ def run_query(cfg: ServerConfig, form: dict):
         import threading
         w = _StreamWriter()
         err: list[BaseException] = []
+        # bm may only be closed once BOTH sides are done with it: if the
+        # client abandons the stream while the producer sits inside one
+        # long native/device call (it only observes ``stopped`` at its
+        # next write), closing the readers/mmaps under it would be a
+        # use-after-close -> possible SIGSEGV.  Whoever finishes last
+        # closes.
+        state = {"left": 0}
+        state_mu = threading.Lock()
+
+        def leave():
+            with state_mu:
+                state["left"] += 1
+                last = state["left"] == 2
+            if last:
+                bm.close()
 
         def work():
             try:
@@ -235,13 +250,16 @@ def run_query(cfg: ServerConfig, form: dict):
                     w.close_producer()
                 except _ClientGone:
                     pass
+                leave()
 
         t = threading.Thread(target=work, daemon=True,
                              name="bgt-stream-producer")
+        started = False
         try:
             if vcf_out:
                 yield (bm.h_out.text + "\n").encode("latin-1")
             t.start()
+            started = True
             yield from w.drain()
             if err:
                 raise err[0]
@@ -254,11 +272,15 @@ def run_query(cfg: ServerConfig, form: dict):
                 yield b"*\n"
         finally:
             # client gone or done: release the producer (it checks
-            # ``stopped`` on every put) before closing the readers it uses
+            # ``stopped`` on every put); the close handshake runs when the
+            # second side leaves, however long the producer's current call
+            # takes
             w.stopped = True
-            if t.is_alive() or t.ident is not None:
-                t.join(timeout=10.0)
-            bm.close()
+            if started:
+                t.join(timeout=5.0)
+                leave()
+            else:
+                bm.close()
 
     return 200, gen_fast()
 

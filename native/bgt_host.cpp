@@ -2177,9 +2177,9 @@ struct BgzfOut {
         static const uint8_t kEof[28] = {
             0x1f, 0x8b, 0x08, 0x04, 0, 0,    0, 0, 0, 0xff, 0x06, 0, 'B', 'C',
             2,    0,    0x1b, 0,    3, 0,    0, 0, 0, 0,    0,    0, 0,   0};
+        bool ok = true;
         if (async) {
             size_t off = 0;
-            bool ok = true;
             while (ok && buf.size() - off > 0) {
                 size_t n = std::min(buf.size() - off, kBlock);
                 ok = submit(std::vector<uint8_t>(
@@ -2188,13 +2188,16 @@ struct BgzfOut {
             }
             buf.clear();
             if (!stop_async()) ok = false;
-            if (!ok) return false;
         } else {
-            while (!buf.empty())
-                if (!flush_one(std::min(buf.size(), kBlock))) return false;
+            while (ok && !buf.empty())
+                ok = flush_one(std::min(buf.size(), kBlock));
         }
-        if (fwrite(kEof, 1, 28, fp) != 28) return false;
-        return fclose(fp) == 0 ? (fp = nullptr, true) : false;
+        if (ok) ok = fwrite(kEof, 1, 28, fp) == 28;
+        // always release the FILE*, success or not (a failed flush must
+        // not leak the fd — long-lived servers retry imports)
+        if (fclose(fp) != 0) ok = false;
+        fp = nullptr;
+        return ok;
     }
 
     ~BgzfOut() {

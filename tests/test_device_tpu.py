@@ -148,8 +148,8 @@ print("end-to-end subset OK", flush=True)
 # Pallas production kernel vs the XLA-fusion oracle at qualifying shapes,
 # including a ragged final row tile and the 33-group maximum
 if dev.platform == "tpu":
-    for rows2, words2, g2 in ((2048, 256, 1), (1003, 128, 33),
-                              (517, 256, 8)):
+    for rows2, words2, g2 in ((2048, 1024, 1), (1003, 1024, 33),
+                              (517, 2048, 8)):
         q0 = rng.integers(0, 2**32, (rows2, words2), dtype=np.uint32)
         q1 = rng.integers(0, 2**32, (rows2, words2), dtype=np.uint32)
         qm = rng.integers(0, 2**32, (g2, words2), dtype=np.uint32)
